@@ -1,0 +1,10 @@
+from .resnet import (  # noqa: F401
+    RESNET_CONFIGS,
+    RGB_MEANS,
+    RGB_STDS,
+    ResNetConfig,
+    apply_resnet,
+    init_resnet,
+)
+from .rmac import DescriptorConfig, apply_descriptor, init_descriptor  # noqa: F401
+from .registry import Model, create_model, model_names, register_model  # noqa: F401

@@ -1,0 +1,208 @@
+"""Functional NHWC ResNet backbone.
+
+TPU-first re-design of the reference backbone
+(``dirtorch/nets/backbones/resnet.py:15-199``): pure functions over explicit
+parameter pytrees instead of nn.Module state.
+
+* NHWC activations / HWIO weights — the TPU-native convolution layout.
+* BatchNorm is evaluated as a fused affine (inference statistics); the
+  fine-tuning recipe of the reference freezes BN anyway
+  (``utils/common.py:187-202``), so the same pure function serves training.
+* Compute dtype is a parameter: bf16 feeds the MXU at full rate with fp32
+  accumulation (``preferred_element_type``); fp32 + HIGHEST precision gives
+  bit-comparable parity with the PyTorch reference.
+
+Stage/block structure, strides, and He initialization match the reference
+(BasicBlock resnet.py:15-44, Bottleneck :46-87, stem+4 stages :102-123,
+reset_weights :92-99) so released checkpoints convert weight-for-weight.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ResNetConfig", "init_resnet", "apply_resnet", "BN_EPS",
+           "RGB_MEANS", "RGB_STDS"]
+
+BN_EPS = 1e-5  # torch BatchNorm2d default
+
+# ImageNet preprocessing constants (reference resnet.py:110-112)
+RGB_MEANS = (0.485, 0.456, 0.406)
+RGB_STDS = (0.229, 0.224, 0.225)
+
+_BLOCK_EXPANSION = {"basic": 1, "bottleneck": 4}
+_STAGE_PLANES = (64, 128, 256, 512)
+
+
+@dataclass(frozen=True)
+class ResNetConfig:
+    """Static architecture description (hashable, usable as a jit static arg)."""
+
+    block: str                  # 'basic' | 'bottleneck'
+    layers: Tuple[int, ...]     # blocks per stage, e.g. (3, 4, 23, 3)
+    name: str = "resnet"
+
+    @property
+    def expansion(self) -> int:
+        return _BLOCK_EXPANSION[self.block]
+
+    @property
+    def out_channels(self) -> int:
+        return 512 * self.expansion
+
+    @property
+    def c4_channels(self) -> int:
+        return 256 * self.expansion
+
+
+RESNET_CONFIGS = {
+    "resnet18": ResNetConfig("basic", (2, 2, 2, 2), "resnet18"),
+    "resnet50": ResNetConfig("bottleneck", (3, 4, 6, 3), "resnet50"),
+    "resnet101": ResNetConfig("bottleneck", (3, 4, 23, 3), "resnet101"),
+    "resnet152": ResNetConfig("bottleneck", (3, 8, 36, 3), "resnet152"),
+}
+
+
+# --------------------------------------------------------------------------
+# initialization
+# --------------------------------------------------------------------------
+
+def _he_conv(key, kh, kw, cin, cout) -> jnp.ndarray:
+    """He-normal init with fan = kh*kw*cout, matching the reference's
+    reset_weights (resnet.py:92-99)."""
+    std = jnp.sqrt(2.0 / (kh * kw * cout))
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std
+
+
+def _init_bn(c) -> Dict[str, jnp.ndarray]:
+    return {
+        "scale": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def _init_block(key, cfg: ResNetConfig, cin: int, planes: int,
+                stride: int) -> Dict[str, Any]:
+    keys = jax.random.split(key, 4)
+    cout = planes * cfg.expansion
+    if cfg.block == "basic":
+        block = {
+            "conv1": _he_conv(keys[0], 3, 3, cin, planes),
+            "bn1": _init_bn(planes),
+            "conv2": _he_conv(keys[1], 3, 3, planes, planes),
+            "bn2": _init_bn(planes),
+        }
+    else:
+        block = {
+            "conv1": _he_conv(keys[0], 1, 1, cin, planes),
+            "bn1": _init_bn(planes),
+            "conv2": _he_conv(keys[1], 3, 3, planes, planes),
+            "bn2": _init_bn(planes),
+            "conv3": _he_conv(keys[2], 1, 1, planes, cout),
+            "bn3": _init_bn(cout),
+        }
+    if stride != 1 or cin != cout:
+        block["downsample"] = {
+            "conv": _he_conv(keys[3], 1, 1, cin, cout),
+            "bn": _init_bn(cout),
+        }
+    return block
+
+
+def init_resnet(key, cfg: ResNetConfig) -> Dict[str, Any]:
+    """Random parameter pytree for the backbone."""
+    k_stem, *k_stages = jax.random.split(key, 5)
+    params: Dict[str, Any] = {
+        "stem": {"conv": _he_conv(k_stem, 7, 7, 3, 64), "bn": _init_bn(64)},
+    }
+    cin = 64
+    for s, (planes, nblocks) in enumerate(zip(_STAGE_PLANES, cfg.layers)):
+        stride = 1 if s == 0 else 2
+        keys = jax.random.split(k_stages[s], nblocks)
+        blocks = []
+        for b in range(nblocks):
+            blocks.append(
+                _init_block(keys[b], cfg, cin, planes, stride if b == 0 else 1))
+            cin = planes * cfg.expansion
+        params[f"layer{s + 1}"] = blocks
+    return params
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def _conv(x, w, stride=1, padding=0, *, dtype, precision):
+    """NHWC conv with fp32 accumulation regardless of compute dtype."""
+    pad = ((padding, padding), (padding, padding))
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype),
+        window_strides=(stride, stride), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision, preferred_element_type=jnp.float32)
+    return out
+
+
+def _bn(x, p):
+    """Inference batch-norm as a fused affine in fp32."""
+    inv = jax.lax.rsqrt(p["var"] + BN_EPS)
+    return x * (p["scale"] * inv) + (p["bias"] - p["mean"] * p["scale"] * inv)
+
+
+def _max_pool_3x3s2(x):
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) equivalent."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+
+def _apply_block(x, p, cfg: ResNetConfig, stride: int, *, dtype, precision):
+    residual = x
+    if cfg.block == "basic":
+        out = _bn(_conv(x, p["conv1"], stride, 1, dtype=dtype, precision=precision), p["bn1"])
+        out = jax.nn.relu(out)
+        out = _bn(_conv(out, p["conv2"], 1, 1, dtype=dtype, precision=precision), p["bn2"])
+    else:
+        out = _bn(_conv(x, p["conv1"], 1, 0, dtype=dtype, precision=precision), p["bn1"])
+        out = jax.nn.relu(out)
+        out = _bn(_conv(out, p["conv2"], stride, 1, dtype=dtype, precision=precision), p["bn2"])
+        out = jax.nn.relu(out)
+        out = _bn(_conv(out, p["conv3"], 1, 0, dtype=dtype, precision=precision), p["bn3"])
+    if "downsample" in p:
+        residual = _bn(
+            _conv(x, p["downsample"]["conv"], stride, 0, dtype=dtype, precision=precision),
+            p["downsample"]["bn"])
+    return jax.nn.relu(out + residual.astype(out.dtype))
+
+
+def apply_resnet(params, x, cfg: ResNetConfig, *, out_layer: int = 0,
+                 dtype=jnp.float32,
+                 precision=None):
+    """Backbone forward on NHWC input (B, H, W, 3).
+
+    ``out_layer=0`` returns the C5 feature map (B, H/32, W/32, 512*exp);
+    ``out_layer=-1`` returns the (C4, C5) pair for FPN heads
+    (reference resnet.py:157-168).
+    ``dtype`` is the conv compute dtype (bf16 for speed); activations between
+    convs stay fp32 (XLA fuses the elementwise chain into the conv epilogue).
+    """
+    kw = dict(dtype=dtype, precision=precision)
+    x = _bn(_conv(x, params["stem"]["conv"], 2, 3, **kw), params["stem"]["bn"])
+    x = jax.nn.relu(x)
+    x = _max_pool_3x3s2(x)
+
+    for s in range(4):
+        stride = 1 if s == 0 else 2
+        for b, block in enumerate(params[f"layer{s + 1}"]):
+            x = _apply_block(x, block, cfg, stride if b == 0 else 1, **kw)
+        if s == 2 and out_layer == -1:
+            c4 = x
+    if out_layer == -1:
+        return c4, x
+    return x
