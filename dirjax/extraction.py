@@ -1,0 +1,194 @@
+"""Descriptor extraction pipeline.
+
+TPU-first replacement for the reference's per-image extraction loop
+(``dirtorch/test_dir.py:47-94``) and benchmark evaluation driver
+(``test_dir.py:97-180``):
+
+* the host side decodes/transforms images in a thread pool and forms
+  static-shape batches (same-shape groups for exact parity, padded buckets +
+  masked pooling for throughput — the reference runs batch=1 instead),
+* the device side runs the jitted descriptor forward (one XLA compile per
+  distinct batch shape, cached), with optional horizontal-flip TTA folded
+  into the batch,
+* multi-transform (multi-scale) descriptors are pooled on device
+  (mean / signed-power gem, ``common.py:41-55``), whitening is a single
+  folded matmul, AQE/ADBA are device ops, ranking is an MXU matmul,
+* mAP evaluation stays on host (junk-aware protocols need full score rows).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ops
+from .data.loader import SampleLoader, get_loader, iterate_batches
+from .models import Model
+from .utils import evaluation as ev
+
+__all__ = ["extract_image_features", "eval_model", "FeatureExtractor"]
+
+
+class FeatureExtractor:
+    """Jit-compiled descriptor forward bound to a model + params.
+
+    One compile per distinct (batch, H, W) shape — cached by jax. ``dtype``
+    selects the conv compute dtype (fp32 parity / bf16 speed).
+    """
+
+    def __init__(self, model: Model, params, dtype=jnp.float32,
+                 precision=None):
+        self.model = model
+        self.params = params
+        self.dtype = dtype
+
+        cfg = model.config
+
+        @partial(jax.jit, static_argnames=("with_mask",))
+        def _forward(params, images, mask, with_mask):
+            from .models.rmac import apply_descriptor
+
+            return apply_descriptor(
+                params, images, cfg, mask=mask if with_mask else None,
+                dtype=dtype, precision=precision)
+
+        self._forward = _forward
+
+    def __call__(self, images: np.ndarray, mask: Optional[np.ndarray] = None):
+        out = self._forward(self.params, jnp.asarray(images),
+                            jnp.asarray(mask) if mask is not None else
+                            jnp.zeros(images.shape[:3], bool),
+                            mask is not None)
+        return out
+
+
+def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor,
+                           *, flip: Optional[Sequence[int]] = None,
+                           batching: str = "group", batch_size: int = 8,
+                           threads: int = 8, bucket_multiple: int = 64,
+                           desc: str = "extract", progress: bool = False) -> np.ndarray:
+    """Extract a (N, D) descriptor matrix for every image of ``dataset``.
+
+    ``transforms`` is a reference-style chain string (may be '').
+    ``flip``: optional per-image 0/1 list — 1 flips the image horizontally
+    before the forward (the reference's pop-list TTA, test_dir.py:71-72).
+    """
+    preprocess = extractor.model.preprocess
+    loader = get_loader(dataset, trf_chain=transforms, preprocess=preprocess,
+                        output=("img",), totensor=True)
+    order = range(len(dataset))
+
+    n = len(dataset)
+    out: Optional[np.ndarray] = None
+    done = 0
+    batches = iterate_batches(loader, order, batch_size=batch_size,
+                              threads=threads, batching=batching,
+                              bucket_multiple=bucket_multiple)
+    if progress:
+        import tqdm
+
+        batches = tqdm.tqdm(batches, desc=desc)
+    for batch in batches:
+        images = batch.images
+        if flip is not None:
+            for r, idx in enumerate(batch.indices):
+                if flip[idx]:
+                    images[r] = images[r, :, ::-1]
+        descs = np.asarray(extractor(images, batch.mask))
+        if out is None:
+            out = np.zeros((n, descs.shape[1]), np.float32)
+        out[batch.indices] = descs
+        done += len(batch.indices)
+    assert done == n, f"extracted {done}/{n} images"
+    return out
+
+
+def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
+               gemp=3, detailed=False, whiten=None, aqe=None, adba=None,
+               threads=8, batch_size=8, batching="group", save_feats=None,
+               load_feats=None, progress=False) -> dict:
+    """Full benchmark evaluation (reference ``eval_model``, test_dir.py:97-180):
+    extract DB+query descriptors over one or more transform chains, pool,
+    whiten, expand, rank, and compute mAP / top-k under the dataset's
+    protocol.
+
+    ``whiten``: None or a dict {'pca': PCAParams, 'whitenp':, 'whitenv':,
+    'whitenm':} (the reference reads args.whiten + net.pca).
+    ``aqe`` / ``adba``: None or {'k':, 'alpha':}.
+    """
+    query_db = db.get_query_db()
+
+    if load_feats:
+        import os
+
+        bdescs = np.load(os.path.join(load_feats, "feats.bdescs.npy"))
+        qdescs = (np.load(os.path.join(load_feats, "feats.qdescs.npy"))
+                  if query_db is not db else bdescs)
+    else:
+        trfs_list = [trfs] if isinstance(trfs, str) else list(trfs)
+        kw = dict(batch_size=batch_size, threads=threads, progress=progress)
+        bl, ql = [], []
+        for chain in trfs_list:
+            # chains with Pad/Crop produce same-size outputs (reference
+            # test_dir.py:114); otherwise group same shapes
+            mode = batching
+            bl.append(extract_image_features(
+                db, chain, extractor, batching=mode, desc="DB", **kw))
+            ql.append(bl[-1] if db is query_db else extract_image_features(
+                query_db, chain, extractor, batching=mode, desc="query", **kw))
+        bdescs = np.asarray(ops.pool_descriptors(
+            [jnp.asarray(d) for d in bl], pooling, gemp))
+        qdescs = np.asarray(ops.pool_descriptors(
+            [jnp.asarray(d) for d in ql], pooling, gemp))
+
+    if save_feats:
+        import os
+
+        os.makedirs(save_feats, exist_ok=True)
+        np.save(os.path.join(save_feats, "feats.bdescs.npy"), bdescs)
+        if query_db is not db:
+            np.save(os.path.join(save_feats, "feats.qdescs.npy"), qdescs)
+
+    if whiten is not None:
+        wkw = {k: v for k, v in whiten.items() if k != "pca"}
+        bdescs = np.asarray(ops.apply_whitening(bdescs, whiten["pca"], **wkw))
+        qdescs = np.asarray(ops.apply_whitening(qdescs, whiten["pca"], **wkw))
+
+    if adba is not None:
+        bdescs = np.asarray(ops.expand_database(bdescs, **adba))
+    if aqe is not None:
+        qdescs = np.asarray(ops.expand_queries(qdescs, bdescs, **aqe))
+
+    scores = np.asarray(ops.compute_scores(qdescs, bdescs))
+
+    res: dict = {}
+    try:
+        aps = [db.eval_query_AP(q, scores[q]) for q in range(len(scores))]
+        if not isinstance(aps[0], dict):
+            aps = [float(a) for a in aps]
+            if detailed:
+                res["APs"] = aps
+            res["mAP"] = ev.mean_excluding_invalid(aps)
+        else:
+            for mode in aps[0]:
+                vals = [float(a[mode]) for a in aps]
+                if detailed:
+                    res["APs-" + mode] = vals
+                res["mAP-" + mode] = ev.mean_excluding_invalid(vals)
+    except NotImplementedError:
+        pass
+
+    try:
+        tops = [db.eval_query_top(q, scores[q]) for q in range(len(scores))]
+        if detailed:
+            res["tops"] = tops
+        for k in tops[0]:
+            res[f"top{k}"] = float(np.mean([t[k] for t in tops]))
+    except NotImplementedError:
+        pass
+
+    return res

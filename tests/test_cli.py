@@ -1,0 +1,122 @@
+"""End-to-end CLI tests: run the real entry points in-process on the
+synthetic benchmark with a converted reference-schema checkpoint."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+import dirjax.datasets as D
+from dirjax.models import create_model
+from dirjax.utils.checkpoints import Checkpoint, save_native
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth_cli"))
+    D.Synthetic(root, revisited=True)  # materialize
+    return root
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    model = create_model("resnet18_rmac", out_dim=32)
+    params = model.init(jax.random.PRNGKey(0))
+    from dirjax.ops import fit_pca
+
+    rng = np.random.default_rng(0)
+    pca = fit_pca(rng.normal(size=(64, 32)))
+    path = str(tmp_path_factory.mktemp("ckpt") / "model.npz")
+    save_native(path, Checkpoint(model=model, params=params,
+                                 preprocess=model.preprocess,
+                                 pca={"Landmarks_clean": pca}))
+    return path
+
+
+class TestTestDirCLI:
+    def test_eval_synthetic(self, synth_root, ckpt_path, tmp_path):
+        from dirjax.cli.test_dir import main
+
+        out_json = str(tmp_path / "out.json")
+        res = main([
+            "--dataset", f"Synthetic('{synth_root}')",
+            "--checkpoint", ckpt_path,
+            "--whiten", "",          # no whitening
+            "--gpu", "-1",
+            "--out-json", out_json,
+        ])
+        assert set(res) >= {"mAP-easy", "mAP-medium", "mAP-hard"}
+        data = json.load(open(out_json))
+        assert f"Synthetic('{synth_root}')" in data
+
+    def test_eval_with_whiten_and_aqe(self, synth_root, ckpt_path):
+        from dirjax.cli.test_dir import main
+
+        res = main([
+            "--dataset", f"Synthetic('{synth_root}')",
+            "--checkpoint", ckpt_path,
+            "--whiten", "Landmarks_clean", "--whitenp", "0.25",
+            "--aqe", "2", "3",
+            "--gpu", "-1",
+        ])
+        assert "mAP-medium" in res
+
+    def test_missing_whitening_name_errors(self, synth_root, ckpt_path):
+        from dirjax.cli.test_dir import main
+
+        with pytest.raises(KeyError, match="no whitening"):
+            main(["--dataset", f"Synthetic('{synth_root}')",
+                  "--checkpoint", ckpt_path,
+                  "--whiten", "NoSuchPCA", "--gpu", "-1"])
+
+
+class TestExtractFeaturesCLI:
+    def test_extract(self, synth_root, ckpt_path, tmp_path):
+        from dirjax.cli.extract_features import main
+
+        out = str(tmp_path / "feats.npy")
+        main([
+            "--dataset", f"Synthetic('{synth_root}')",
+            "--checkpoint", ckpt_path,
+            "--output", out, "--gpu", "-1",
+        ])
+        # Synthetic has a separate query db -> two files
+        db = np.load(str(tmp_path / "feats.dbdescs.npy"))
+        q = np.load(str(tmp_path / "feats.qdescs.npy"))
+        assert db.shape == (14, 32)
+        assert q.shape == (3, 32)
+        np.testing.assert_allclose(np.linalg.norm(db, axis=1), 1.0, rtol=1e-4)
+
+    def test_extract_imagelist(self, synth_root, ckpt_path, tmp_path):
+        # plain ImageList has no query db -> single output file
+        from dirjax.cli.extract_features import main
+
+        jpg = os.path.join(synth_root, "revisited", "jpg")
+        lst = tmp_path / "list.txt"
+        lst.write_text("\n".join(sorted(os.listdir(jpg))[:4]) + "\n")
+        out = str(tmp_path / "il.npy")
+        main([
+            "--dataset", f"ImageList('{lst}', root='{jpg}')",
+            "--checkpoint", ckpt_path,
+            "--output", out, "--gpu", "-1",
+        ])
+        assert np.load(out).shape == (4, 32)
+
+
+class TestModuleMains:
+    def test_models_main(self):
+        out = subprocess.run(
+            [sys.executable, "-m", "dirjax.models"], capture_output=True,
+            text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert "resnet101_rmac" in out.stdout
+
+    def test_kapture_requires_package(self, ckpt_path):
+        from dirjax.cli.extract_kapture import extract_kapture_global_features
+
+        with pytest.raises(ImportError, match="kapture"):
+            extract_kapture_global_features("/nonexistent", None, "t", "")
