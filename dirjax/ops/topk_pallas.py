@@ -1,0 +1,124 @@
+"""Fused similarity + top-k Pallas kernel for the serving path.
+
+Replaces the reference's rank-then-sort on a materialized score matrix
+(``common.py:30-38`` + numpy argsort): the database streams through VMEM in
+row tiles, each tile's scores are produced on the MXU and immediately
+reduced to a per-tile top-k in VMEM — the (Nq, Nd) score matrix never
+touches HBM. For a 1M x 2048 database that saves ~4 GB of HBM traffic per
+100-query batch; the final merge of per-tile candidates is a tiny XLA
+``top_k`` over (Nq, tiles*k).
+
+Exact-mAP evaluation still uses :func:`dirjax.ops.compute_scores` (the
+protocols need full score rows for junk removal, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["rank_topk_fused"]
+
+
+def _kernel(q_ref, db_ref, vals_ref, idxs_ref, scores_ref, *, k, n_total,
+            tile_rows):
+    t = pl.program_id(0)
+    # k is padded to the 128-lane tile; fill the pad with -inf candidates
+    vals_ref[...] = jnp.full_like(vals_ref, -jnp.inf)
+    idxs_ref[...] = jnp.zeros_like(idxs_ref)
+    scores = jax.lax.dot_general(
+        q_ref[...], db_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (Nq, Nt)
+    nq, nt = scores.shape
+    # mask out padding rows of the last tile
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, nt), 1)
+    global_col = col + t * tile_rows
+    neg = jnp.float32(-jnp.inf)
+    scores = jnp.where(global_col < n_total, scores, neg)
+    scores_ref[...] = scores
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+    big = jnp.int32(2 ** 30)
+
+    def body(i, _):
+        s = scores_ref[...]
+        best = jnp.max(s, axis=1)                     # (Nq,)
+        # first-winner index via a min-reduction (argmax miscompiles in
+        # some Mosaic versions; max/min reductions are solid)
+        winner = s >= best[:, None]
+        arg = jnp.min(jnp.where(winner, col, big), axis=1).astype(jnp.int32)
+        # lane-i select (dynamic single-lane stores aren't Mosaic-legal)
+        write = lane == i
+        vals_ref[...] = jnp.where(write, best[:, None], vals_ref[...])
+        idxs_ref[...] = jnp.where(write, (arg + t * tile_rows)[:, None],
+                                  idxs_ref[...])
+        # knock out the winner
+        scores_ref[...] = jnp.where(col == arg[:, None], neg, s)
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows", "interpret"))
+def _fused(q, db, k: int, tile_rows: int, interpret: bool):
+    nq, d = q.shape
+    nd = db.shape[0]
+    tiles = pl.cdiv(nd, tile_rows)
+    pad = tiles * tile_rows - nd
+    if pad:
+        db = jnp.pad(db, ((0, pad), (0, 0)))
+    # per-tile candidate block padded to the 128-lane tile (Mosaic tiling)
+    k_pad = ((k + 127) // 128) * 128
+
+    kernel = functools.partial(_kernel, k=k, n_total=nd, tile_rows=tile_rows)
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, d), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, k_pad), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, k_pad), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, tiles * k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nq, tiles * k_pad), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nq, tile_rows), jnp.float32)],
+        interpret=interpret,
+    )(q, db)
+
+    # merge the per-tile candidates (tiny: tiles*k per query)
+    merged_vals, merge_pos = jax.lax.top_k(vals, k)
+    merged_idxs = jnp.take_along_axis(idxs, merge_pos, axis=1)
+    return merged_vals, merged_idxs
+
+
+def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: int = 512,
+                    use_pallas: Optional[bool] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k (values, db indices) per query without materializing scores.
+
+    ``db_descs`` may be bf16 (recommended for serving); scores accumulate
+    in fp32 on the MXU either way.
+    """
+    q = jnp.asarray(qdescs)
+    db = jnp.asarray(db_descs)
+    if q.dtype != db.dtype:
+        q = q.astype(db.dtype)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        scores = jnp.matmul(q.astype(jnp.float32), db.astype(jnp.float32).T,
+                            preferred_element_type=jnp.float32)
+        return jax.lax.top_k(scores, k)
+    return _fused(q, db, k, min(tile_rows, db.shape[0]), False)

@@ -1,0 +1,50 @@
+"""Device-mesh construction.
+
+The reference's entire parallel story is single-process
+``torch.nn.DataParallel`` (``utils/common.py:150-175``). The TPU-native
+replacement is SPMD over a ``jax.sharding.Mesh``:
+
+* axis ``"data"`` — batch-parallel descriptor extraction (the DP analog,
+  riding ICI instead of PCIe scatter/gather);
+* axis ``"db"``   — database-sharded ranking: each device holds a row-slice
+  of the descriptor matrix, queries are replicated, candidate top-ks merge
+  with one all-gather (the workload's "sequence parallel" analog,
+  SURVEY.md §5).
+
+On a multi-host pod, put "db" on the ICI-adjacent axis and "data" across
+DCN: extraction needs no cross-device traffic, ranking's all-gather stays
+on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "P", "Mesh",
+           "NamedSharding"]
+
+
+def make_mesh(data: Optional[int] = None, db: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """A 2D ("data", "db") mesh. Defaults to all devices on "data"."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // db
+    assert data * db == n, f"{data}x{db} != {n} devices"
+    arr = np.asarray(devices).reshape(data, db)
+    return Mesh(arr, axis_names=("data", "db"))
+
+
+def data_sharding(mesh: Mesh, *trailing_none: int) -> NamedSharding:
+    """Shard the leading (batch) axis over "data"; trailing axes replicated."""
+    return NamedSharding(mesh, P("data", *([None] * trailing_none[0]
+                                           if trailing_none else [])))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

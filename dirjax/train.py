@@ -1,0 +1,252 @@
+"""Training: AP-loss fine-tuning of descriptor models.
+
+The reference ships the losses and the support machinery (BalancedSampler
+``pytorch_loader.py:184-249``, BN freezing ``common.py:187-202``,
+checkpoint save ``common.py:102-114``) but no train entry point
+(README.md:26; training happened in NAVER-internal code). This module
+completes the story TPU-first:
+
+* listwise AP-loss on in-batch similarity matrices (each image queries the
+  rest of the batch — the Siamese multi-crop recipe of Revaud et al.),
+* BatchNorm statistics frozen (the fine-tuning recipe; BN is inference-mode
+  affine in the forward) with optionally-frozen BN scale/bias via an optax
+  mask,
+* one jitted train step; :func:`make_sharded_train_step` adds mesh
+  shardings — batch over "data" (DP), the FC projection over "db" (TP) —
+  and lets GSPMD insert the ICI collectives,
+* checkpoint/resume in the native npz format incl. optimizer state, with
+  the reference's ``.best`` copy behavior.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import loss as losses
+from .data.loader import BalancedSampler, get_loader, iterate_batches
+from .models import Model, create_model
+from .models.rmac import apply_descriptor
+from .utils.checkpoints import Checkpoint, load_native, save_native
+
+__all__ = ["TrainConfig", "make_loss", "batch_ap_loss", "make_train_step",
+           "make_sharded_train_step", "fit", "save_checkpoint"]
+
+
+@dataclass
+class TrainConfig:
+    arch: str = "resnet101_rmac"
+    out_dim: int = 2048
+    loss: str = "ap"            # 'ap' | 'tap' | 'taps'
+    nq: int = 25
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-6
+    momentum: float = 0.9
+    optimizer: str = "adam"     # 'adam' | 'sgd'
+    freeze_bn: bool = True
+    epochs: int = 1
+    batch_size: int = 16
+    image_size: int = 224
+    trfs: str = "RandomScale(256,288), RandomCrop(224), RandomFlip()"
+    seed: int = 0
+    threads: int = 8
+
+
+def make_loss(cfg: TrainConfig):
+    # in-batch cosine scores live in [-1, 1]
+    if cfg.loss == "ap":
+        return losses.APLoss(nq=cfg.nq, min=-1.0, max=1.0)
+    if cfg.loss == "tap":
+        return losses.TAPLoss(nq=cfg.nq, min=-1.0, max=1.0)
+    if cfg.loss == "taps":
+        return losses.TAPLoss(nq=cfg.nq, min=-1.0, max=1.0, simplified=True)
+    raise ValueError(f"unknown loss {cfg.loss}")
+
+
+def _offdiag_indices(n: int) -> np.ndarray:
+    """(n, n-1) column indices excluding the diagonal (each image ranks the
+    rest of the batch, never itself)."""
+    idx = np.arange(n)[None, :].repeat(n, axis=0)
+    return np.stack([row[row != i] for i, row in enumerate(idx)])
+
+
+def batch_ap_loss(descs, labels, loss_fn):
+    """Listwise loss over the in-batch similarity matrix."""
+    n = descs.shape[0]
+    scores = jnp.matmul(descs, descs.T, preferred_element_type=jnp.float32)
+    match = (labels[:, None] == labels[None, :]).astype(jnp.float32)
+    cols = jnp.asarray(_offdiag_indices(n))
+    scores_od = jnp.take_along_axis(scores, cols, axis=1)
+    match_od = jnp.take_along_axis(match, cols, axis=1)
+    # queries with no in-batch positive contribute AP=0 either way; weight
+    # them out so the mean is over informative queries
+    has_pos = (match_od.sum(axis=1) > 0).astype(jnp.float32)
+    qw = has_pos / jnp.maximum(has_pos.sum(), 1.0) * n
+    return loss_fn(jnp.clip(scores_od, -1.0, 1.0), match_od, qw=qw)
+
+
+def _bn_labels(params):
+    """optax.multi_transform label pytree: 'freeze' on BatchNorm leaves."""
+
+    def walk(node, in_bn=False):
+        if isinstance(node, dict):
+            return {k: walk(v, in_bn or k.startswith("bn") or k == "bn")
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, in_bn) for v in node]
+        return "freeze" if in_bn else "train"
+
+    return walk(params)
+
+
+def make_optimizer(cfg: TrainConfig, params):
+    if cfg.optimizer == "adam":
+        tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(cfg.learning_rate, momentum=cfg.momentum))
+    else:
+        raise ValueError(cfg.optimizer)
+    if cfg.freeze_bn:
+        # NB: optax.masked would pass raw gradients through for the frozen
+        # leaves; multi_transform + set_to_zero actually freezes them
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
+                                   _bn_labels(params))
+    return tx
+
+
+def make_train_step(model: Model, cfg: TrainConfig, tx, dtype=jnp.float32):
+    loss_fn = make_loss(cfg)
+    mcfg = model.config
+
+    @jax.jit
+    def step(params, opt_state, images, labels):
+        def objective(p):
+            descs = apply_descriptor(p, images, mcfg, dtype=dtype)
+            return batch_ap_loss(descs, labels, loss_fn)
+
+        loss_val, grads = jax.value_and_grad(objective)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_val
+
+    return step
+
+
+def make_sharded_train_step(model: Model, cfg: TrainConfig, tx, mesh,
+                            dtype=jnp.float32):
+    """Train step with explicit mesh shardings: DP over "data" (batch),
+    TP over "db" (the FC projection's output features + descriptor dim).
+    GSPMD inserts the all-gather/psum collectives over ICI."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    loss_fn = make_loss(cfg)
+    mcfg = model.config
+
+    def param_sharding(params):
+        def walk(node, path=()):
+            if isinstance(node, dict):
+                return {k: walk(v, path + (k,)) for k, v in node.items()}
+            if isinstance(node, list):
+                return [walk(v, path) for v in node]
+            if path[-2:] == ("fc", "kernel"):
+                return NamedSharding(mesh, P(None, "db"))   # TP: output dim
+            if path[-2:] == ("fc", "bias"):
+                return NamedSharding(mesh, P("db"))
+            return NamedSharding(mesh, P())
+        return walk(params)
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def shard_args(params, opt_state, images, labels):
+        psh = param_sharding(params)
+        params = jax.device_put(params, psh)
+        opt_state = jax.device_put(
+            opt_state, jax.tree.map(lambda _: rep, opt_state))
+        images = jax.device_put(images, batch_sh)
+        labels = jax.device_put(labels, batch_sh)
+        return params, opt_state, images, labels
+
+    @jax.jit
+    def step(params, opt_state, images, labels):
+        def objective(p):
+            descs = apply_descriptor(p, images, mcfg, dtype=dtype)
+            return batch_ap_loss(descs, labels, loss_fn)
+
+        loss_val, grads = jax.value_and_grad(objective)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_val
+
+    return step, shard_args
+
+
+def save_checkpoint(state: Checkpoint, is_best: bool, filename: str):
+    """Native-format save with the reference's `.best` copy semantics
+    (common.py:102-114)."""
+    try:
+        save_native(filename, state)
+        if is_best:
+            import shutil
+
+            shutil.copyfile(filename, filename + ".best")
+            filename = filename + ".best"
+        print("saving to " + filename)
+    except OSError as e:
+        print(f"Error: Could not save checkpoint at {filename}, skipping ({e})")
+
+
+def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
+        out_dir: Optional[str] = None, dtype=jnp.float32,
+        steps_per_epoch: Optional[int] = None, progress: bool = False):
+    """Fine-tune on a labeled dataset; returns (model, params, history)."""
+    model = create_model(cfg.arch, out_dim=cfg.out_dim)
+    if params is None:
+        params = model.init(jax.random.PRNGKey(cfg.seed))
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    step = make_train_step(model, cfg, tx, dtype=dtype)
+
+    loader = get_loader(dataset, cfg.trfs, preprocess=model.preprocess,
+                        output=("img", "label"), totensor=True)
+    sampler = BalancedSampler(dataset, rng=np.random.default_rng(cfg.seed))
+
+    history = []
+    best = float("inf")
+    for epoch in range(cfg.epochs):
+        order = list(iter(sampler))
+        if steps_per_epoch:
+            order = order[: steps_per_epoch * cfg.batch_size]
+        epoch_losses = []
+        batches = iterate_batches(loader, order, batch_size=cfg.batch_size,
+                                  threads=cfg.threads, batching="group")
+        if progress:
+            import tqdm
+
+            batches = tqdm.tqdm(batches, desc=f"epoch {epoch}")
+        for batch in batches:
+            if len(batch.indices) < 2:
+                continue
+            labels = jnp.asarray(batch.fields["label"])
+            params, opt_state, loss_val = step(
+                params, opt_state, jnp.asarray(batch.images), labels)
+            epoch_losses.append(float(loss_val))
+        mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+        history.append({"epoch": epoch, "loss": mean_loss})
+        if out_dir:
+            ckpt = Checkpoint(model=model, params=params,
+                              preprocess=model.preprocess,
+                              extra={"epoch": epoch})
+            save_checkpoint(ckpt, mean_loss < best,
+                            os.path.join(out_dir, "checkpoint.npz"))
+        best = min(best, mean_loss)
+    return model, params, history

@@ -1,0 +1,75 @@
+"""Pallas kernel tests (interpret mode on CPU) against their XLA oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dirjax.ops.gem_head import _fused_call, fused_gem_head, gem_head_reference
+from dirjax.ops.topk_pallas import _fused as topk_fused
+from dirjax.ops.topk_pallas import rank_topk_fused
+
+
+class TestFusedGemHead:
+    @pytest.mark.parametrize("shape", [(2, 4, 4, 128), (1, 9, 5, 256)])
+    def test_matches_reference(self, rng, shape):
+        B, H, W, C = shape
+        D = 512
+        x = (rng.random((B, H, W, C)) + 0.05).astype(np.float32)
+        w = rng.normal(size=(C, D)).astype(np.float32) * 0.02
+        b = rng.normal(size=(D,)).astype(np.float32) * 0.01
+        p = 2.5
+        mask = np.ones((B, H, W), np.float32)
+        got = np.asarray(_fused_call(jnp.asarray(x), jnp.asarray(mask), p,
+                                     jnp.asarray(w), jnp.asarray(b),
+                                     interpret=True))
+        want = np.asarray(gem_head_reference(jnp.asarray(x), None, p,
+                                             jnp.asarray(w), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_masked(self, rng):
+        B, H, W, C, D = 1, 8, 6, 128, 256
+        x = (rng.random((B, H, W, C)) + 0.05).astype(np.float32)
+        w = rng.normal(size=(C, D)).astype(np.float32) * 0.02
+        b = np.zeros((D,), np.float32)
+        mask = np.zeros((B, H, W), np.float32)
+        mask[:, :5, :3] = 1.0
+        got = np.asarray(_fused_call(jnp.asarray(x), jnp.asarray(mask), 3.0,
+                                     jnp.asarray(w), jnp.asarray(b),
+                                     interpret=True))
+        want = np.asarray(gem_head_reference(
+            jnp.asarray(x), jnp.asarray(mask) > 0.5, 3.0, jnp.asarray(w),
+            jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_dispatcher_fallback_on_cpu(self, rng):
+        x = (rng.random((1, 4, 4, 128)) + 0.1).astype(np.float32)
+        w = rng.normal(size=(128, 128)).astype(np.float32)
+        b = np.zeros((128,), np.float32)
+        out = fused_gem_head(x, 3.0, w, b)  # auto -> XLA path on CPU
+        assert np.asarray(out).shape == (1, 128)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1),
+                                   1.0, rtol=1e-5)
+
+
+class TestFusedTopK:
+    @pytest.mark.parametrize("nd,tile", [(100, 32), (256, 64), (50, 64), (1030, 512)])
+    def test_matches_lax_topk(self, rng, nd, tile):
+        nq, d, k = 8, 128, 5
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        db = rng.normal(size=(nd, d)).astype(np.float32)
+        vals, idxs = topk_fused(jnp.asarray(q), jnp.asarray(db), k,
+                                min(tile, nd), True)
+        scores = q @ db.T
+        want_vals, want_idxs = jax.lax.top_k(jnp.asarray(scores), k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(want_vals),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))
+
+    def test_dispatcher_cpu(self, rng):
+        q = rng.normal(size=(4, 64)).astype(np.float32)
+        db = rng.normal(size=(300, 64)).astype(np.float32)
+        vals, idxs = rank_topk_fused(q, db, 7)
+        scores = q @ db.T
+        np.testing.assert_array_equal(np.asarray(idxs),
+                                      (-scores).argsort(axis=1)[:, :7])
