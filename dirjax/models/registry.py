@@ -67,6 +67,10 @@ for _bb in ("resnet18", "resnet50", "resnet101", "resnet152"):
     register_model(f"{_bb}_rmac", partial(_rmac_config, _bb, None))
     register_model(f"{_bb}_fpn_rmac", partial(_rmac_config, _bb, 1))
 register_model("resnet101_fpn0_rmac", partial(_rmac_config, "resnet101", 0))
+# working ResNeXt head (the reference's rmac_resnext.py is dead/broken,
+# SURVEY.md §2); same R-MAC head over the grouped-conv backbone
+register_model("resnext101_32x4d_rmac",
+               partial(_rmac_config, "resnext101_32x4d", None))
 
 
 def create_model(arch: str, pretrained: str = "", **kwargs) -> Model:

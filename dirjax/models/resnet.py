@@ -40,15 +40,28 @@ _STAGE_PLANES = (64, 128, 256, 512)
 
 @dataclass(frozen=True)
 class ResNetConfig:
-    """Static architecture description (hashable, usable as a jit static arg)."""
+    """Static architecture description (hashable, usable as a jit static arg).
+
+    ``groups``/``base_width`` generalize the bottleneck to ResNeXt
+    (Xie et al.): the 3x3 conv becomes a grouped conv of width
+    ``planes * base_width/64 * groups`` — a working replacement for the
+    reference's dead Torch7-converted ResNeXt-101 32x4d
+    (``nets/backbones/resnext101_features.py``, ``rmac_resnext.py``, which
+    is unimported and broken upstream, SURVEY.md §2)."""
 
     block: str                  # 'basic' | 'bottleneck'
     layers: Tuple[int, ...]     # blocks per stage, e.g. (3, 4, 23, 3)
     name: str = "resnet"
+    groups: int = 1
+    base_width: int = 64
 
     @property
     def expansion(self) -> int:
         return _BLOCK_EXPANSION[self.block]
+
+    def mid_width(self, planes: int) -> int:
+        """Bottleneck middle width (ResNeXt generalization)."""
+        return int(planes * self.base_width / 64.0) * self.groups
 
     @property
     def out_channels(self) -> int:
@@ -64,6 +77,9 @@ RESNET_CONFIGS = {
     "resnet50": ResNetConfig("bottleneck", (3, 4, 6, 3), "resnet50"),
     "resnet101": ResNetConfig("bottleneck", (3, 4, 23, 3), "resnet101"),
     "resnet152": ResNetConfig("bottleneck", (3, 8, 36, 3), "resnet152"),
+    "resnext101_32x4d": ResNetConfig("bottleneck", (3, 4, 23, 3),
+                                     "resnext101_32x4d", groups=32,
+                                     base_width=4),
 }
 
 
@@ -99,12 +115,14 @@ def _init_block(key, cfg: ResNetConfig, cin: int, planes: int,
             "bn2": _init_bn(planes),
         }
     else:
+        mid = cfg.mid_width(planes)
         block = {
-            "conv1": _he_conv(keys[0], 1, 1, cin, planes),
-            "bn1": _init_bn(planes),
-            "conv2": _he_conv(keys[1], 3, 3, planes, planes),
-            "bn2": _init_bn(planes),
-            "conv3": _he_conv(keys[2], 1, 1, planes, cout),
+            "conv1": _he_conv(keys[0], 1, 1, cin, mid),
+            "bn1": _init_bn(mid),
+            # grouped 3x3: HWIO weight with I = mid/groups
+            "conv2": _he_conv(keys[1], 3, 3, mid // cfg.groups, mid),
+            "bn2": _init_bn(mid),
+            "conv3": _he_conv(keys[2], 1, 1, mid, cout),
             "bn3": _init_bn(cout),
         }
     if stride != 1 or cin != cout:
@@ -138,13 +156,14 @@ def init_resnet(key, cfg: ResNetConfig) -> Dict[str, Any]:
 # forward
 # --------------------------------------------------------------------------
 
-def _conv(x, w, stride=1, padding=0, *, dtype, precision):
+def _conv(x, w, stride=1, padding=0, groups=1, *, dtype, precision):
     """NHWC conv with fp32 accumulation regardless of compute dtype."""
     pad = ((padding, padding), (padding, padding))
     out = jax.lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype),
         window_strides=(stride, stride), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         precision=precision, preferred_element_type=jnp.float32)
     return out
 
@@ -171,7 +190,8 @@ def _apply_block(x, p, cfg: ResNetConfig, stride: int, *, dtype, precision):
     else:
         out = _bn(_conv(x, p["conv1"], 1, 0, dtype=dtype, precision=precision), p["bn1"])
         out = jax.nn.relu(out)
-        out = _bn(_conv(out, p["conv2"], stride, 1, dtype=dtype, precision=precision), p["bn2"])
+        out = _bn(_conv(out, p["conv2"], stride, 1, cfg.groups,
+                        dtype=dtype, precision=precision), p["bn2"])
         out = jax.nn.relu(out)
         out = _bn(_conv(out, p["conv3"], 1, 0, dtype=dtype, precision=precision), p["bn3"])
     if "downsample" in p:

@@ -250,3 +250,9 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
                             os.path.join(out_dir, "checkpoint.npz"))
         best = min(best, mean_loss)
     return model, params, history
+
+
+if __name__ == "__main__":
+    from .cli.train import main as _cli_main
+
+    _cli_main()

@@ -158,6 +158,40 @@ def params_to_state_dict(params: Dict[str, Any], model: Model) -> Dict[str, np.n
     return sd
 
 
+def load_tolerant(init_params: Dict[str, Any], model: Model,
+                  state_dict: Dict[str, Any], delete_fc: bool = False,
+                  verbose: bool = True) -> Dict[str, Any]:
+    """Tolerant weight loading (reference ``nets/__init__.py:67-96``):
+    start from freshly initialized params, overlay every state_dict entry
+    whose name and shape match, keep the init values for missing layers and
+    shape mismatches (reporting both), and optionally keep the fresh FC
+    (``delete_fc`` — used when fine-tuning to a new output dim)."""
+    target = params_to_state_dict(init_params, model)
+    incoming = {k[7:] if k.startswith("module.") else k: v
+                for k, v in state_dict.items()}
+    incoming = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+                for k, v in incoming.items()
+                if not k.endswith("num_batches_tracked")}
+
+    merged = {}
+    for name, init_val in target.items():
+        if delete_fc and name in ("fc.weight", "fc.bias"):
+            merged[name] = init_val
+            continue
+        if name not in incoming:
+            if verbose:
+                print(f"Loading weights for {model.arch}: Missing layer {name}")
+            merged[name] = init_val
+        elif tuple(incoming[name].shape) != tuple(init_val.shape):
+            if verbose:
+                print(f"Loading weights for {model.arch}: Bad shape for "
+                      f"layer {name}, skipping")
+            merged[name] = init_val
+        else:
+            merged[name] = incoming[name]
+    return convert_state_dict(merged, model)
+
+
 def _pca_from_object(pca) -> PCAParams:
     """Reduce an unpickled sklearn PCA (or a plain dict) to arrays."""
     if isinstance(pca, PCAParams):

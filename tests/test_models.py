@@ -188,3 +188,65 @@ class TestTorchParity:
         assert set(flat1) == set(flat2)
         for k in flat1:
             np.testing.assert_allclose(flat1[k], flat2[k], err_msg=k)
+
+
+class TestResNeXt:
+    def test_forward_shapes(self, rng):
+        m = M.create_model("resnext101_32x4d_rmac", out_dim=64)
+        # config sanity: grouped bottleneck widths
+        assert m.config.backbone.groups == 32
+        assert m.config.backbone.mid_width(64) == 128
+        params = m.init(jax.random.PRNGKey(0))
+        assert params["backbone"]["layer1"][0]["conv2"].shape == (3, 3, 4, 128)
+        x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        out = np.asarray(m.apply(params, jnp.asarray(x)))
+        assert out.shape == (1, 64)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+    def test_grouped_conv_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        from dirjax.models.resnet import _conv
+
+        x = rng.normal(size=(2, 8, 8, 64)).astype(np.float32)
+        w = rng.normal(size=(3, 3, 2, 64)).astype(np.float32)  # HWIO, groups=32
+        ours = np.asarray(_conv(jnp.asarray(x), jnp.asarray(w), 1, 1, 32,
+                                dtype=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST))
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        wt = torch.from_numpy(w.transpose(3, 2, 0, 1))  # OIHW
+        theirs = torch.nn.functional.conv2d(xt, wt, padding=1, groups=32)
+        np.testing.assert_allclose(ours, theirs.numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestTolerantLoading:
+    def test_overlay_missing_and_mismatched(self, rng):
+        model = M.create_model("resnet18_rmac", out_dim=64)
+        init = model.init(jax.random.PRNGKey(0))
+        donor = model.init(jax.random.PRNGKey(1))
+        sd = C.params_to_state_dict(donor, model)
+        del sd["layer1.0.conv1.weight"]               # missing layer
+        sd["fc.weight"] = np.zeros((7, 7), np.float32)  # bad shape
+        merged = C.load_tolerant(init, model, sd, verbose=False)
+        # matched layer came from donor
+        np.testing.assert_allclose(
+            merged["backbone"]["stem"]["conv"],
+            np.asarray(donor["backbone"]["stem"]["conv"]))
+        # missing layer kept init
+        np.testing.assert_allclose(
+            merged["backbone"]["layer1"][0]["conv1"],
+            np.asarray(init["backbone"]["layer1"][0]["conv1"]))
+        # bad-shape fc kept init
+        np.testing.assert_allclose(merged["fc"]["kernel"],
+                                   np.asarray(init["fc"]["kernel"]))
+
+    def test_delete_fc(self):
+        model = M.create_model("resnet18_rmac", out_dim=64)
+        init = model.init(jax.random.PRNGKey(0))
+        donor = model.init(jax.random.PRNGKey(1))
+        sd = C.params_to_state_dict(donor, model)
+        merged = C.load_tolerant(init, model, sd, delete_fc=True, verbose=False)
+        np.testing.assert_allclose(merged["fc"]["kernel"],
+                                   np.asarray(init["fc"]["kernel"]))
+        np.testing.assert_allclose(merged["backbone"]["stem"]["conv"],
+                                   np.asarray(donor["backbone"]["stem"]["conv"]))
