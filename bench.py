@@ -67,7 +67,10 @@ def _timed_loop(fn, init_args, n_iter: int) -> float:
         def body(_, carry):
             first, rest, feedback = carry
             out = fn(first + feedback, *rest)
-            fb = (jnp.sum(out).astype(jnp.float32) * 0.0).astype(first.dtype)
+            # NB: *0.0 would constant-fold and let XLA hoist the body out of
+            # the loop; 1e-30 keeps a real data dependence while being far
+            # below fp32/bf16 resolution of the inputs
+            fb = (jnp.sum(out).astype(jnp.float32) * 1e-30).astype(first.dtype)
             return (first, rest, fb)
 
         first, *rest = args

@@ -4,7 +4,9 @@ from .resnet import (  # noqa: F401
     RGB_STDS,
     ResNetConfig,
     apply_resnet,
+    fold_batchnorm,
     init_resnet,
+    is_folded,
 )
 from .rmac import DescriptorConfig, apply_descriptor, init_descriptor  # noqa: F401
 from .registry import Model, create_model, model_names, register_model  # noqa: F401

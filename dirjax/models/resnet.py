@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ResNetConfig", "init_resnet", "apply_resnet", "BN_EPS",
-           "RGB_MEANS", "RGB_STDS"]
+           "RGB_MEANS", "RGB_STDS", "fold_batchnorm", "is_folded"]
 
 BN_EPS = 1e-5  # torch BatchNorm2d default
 
@@ -156,15 +156,19 @@ def init_resnet(key, cfg: ResNetConfig) -> Dict[str, Any]:
 # forward
 # --------------------------------------------------------------------------
 
-def _conv(x, w, stride=1, padding=0, groups=1, *, dtype, precision):
-    """NHWC conv with fp32 accumulation regardless of compute dtype."""
+def _conv(x, w, stride=1, padding=0, groups=1, *, dtype, precision,
+          out_dtype=jnp.float32):
+    """NHWC conv. ``out_dtype``: fp32 for the BN-affine path (accumulation
+    stays fp32 across the elementwise chain); the folded inference path
+    emits ``dtype`` directly so activations stay bf16 in HBM (the MXU still
+    accumulates fp32 internally either way)."""
     pad = ((padding, padding), (padding, padding))
     out = jax.lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype),
         window_strides=(stride, stride), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        precision=precision, preferred_element_type=jnp.float32)
+        precision=precision, preferred_element_type=out_dtype)
     return out
 
 
@@ -201,6 +205,75 @@ def _apply_block(x, p, cfg: ResNetConfig, stride: int, *, dtype, precision):
     return jax.nn.relu(out + residual.astype(out.dtype))
 
 
+# --------------------------------------------------------------------------
+# folded-BN inference fast path
+# --------------------------------------------------------------------------
+
+def fold_batchnorm(params):
+    """Fold every (conv, bn) pair into (conv', bias): w' = w * s/sqrt(v+eps)
+    per output channel, b' = b - m*s/sqrt(v+eps). Inference-only transform.
+
+    NOTE: on TPU the default BN-affine path is the fast one — XLA fuses the
+    affine+relu into the conv epilogue, and measured folded variants were
+    slower (bf16-output conv lowerings ran ~8x slower on v5e). Folding is
+    still useful for weight export and non-XLA backends."""
+    import numpy as np
+
+    def fold_pair(w, bn):
+        inv = np.asarray(bn["scale"]) / np.sqrt(np.asarray(bn["var"]) + BN_EPS)
+        w2 = np.asarray(w) * inv[None, None, None, :]
+        b2 = np.asarray(bn["bias"]) - np.asarray(bn["mean"]) * inv
+        return w2.astype(np.float32), b2.astype(np.float32)
+
+    def walk(node):
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for key, val in node.items():
+            if key == "bn" or key.startswith("bn"):
+                continue  # consumed with its conv below
+            if key == "conv" and "bn" in node:
+                w2, b2 = fold_pair(val, node["bn"])
+                out["conv"], out["bias"] = w2, b2
+            elif key.startswith("conv") and ("bn" + key[4:]) in node:
+                w2, b2 = fold_pair(val, node["bn" + key[4:]])
+                out[key], out["bias" + key[4:]] = w2, b2
+            else:
+                out[key] = walk(val)
+        return out
+
+    return walk(params)
+
+
+def is_folded(params) -> bool:
+    return "bn" not in params["stem"]
+
+
+def _apply_block_folded(x, p, cfg: ResNetConfig, stride: int, *, dtype,
+                        precision):
+    def cb(x_, w, b, stride_, pad_, groups=1):
+        # f32 conv output: bf16-out conv lowerings measured ~8x slower on
+        # v5e; the epilogue (bias+relu+cast) fuses into the conv either way
+        out = _conv(x_, w, stride_, pad_, groups, dtype=dtype,
+                    precision=precision)
+        return out + b
+
+    residual = x
+    if cfg.block == "basic":
+        out = jax.nn.relu(cb(x, p["conv1"], p["bias1"], stride, 1))
+        out = cb(out, p["conv2"], p["bias2"], 1, 1)
+    else:
+        out = jax.nn.relu(cb(x, p["conv1"], p["bias1"], 1, 0))
+        out = jax.nn.relu(cb(out, p["conv2"], p["bias2"], stride, 1, cfg.groups))
+        out = cb(out, p["conv3"], p["bias3"], 1, 0)
+    if "downsample" in p:
+        residual = cb(x, p["downsample"]["conv"], p["downsample"]["bias"],
+                      stride, 0)
+    return jax.nn.relu(out + residual.astype(out.dtype))
+
+
 def apply_resnet(params, x, cfg: ResNetConfig, *, out_layer: int = 0,
                  dtype=jnp.float32,
                  precision=None):
@@ -213,14 +286,22 @@ def apply_resnet(params, x, cfg: ResNetConfig, *, out_layer: int = 0,
     convs stay fp32 (XLA fuses the elementwise chain into the conv epilogue).
     """
     kw = dict(dtype=dtype, precision=precision)
-    x = _bn(_conv(x, params["stem"]["conv"], 2, 3, **kw), params["stem"]["bn"])
+    folded = "bn" not in params["stem"]
+    if folded:
+        x = _conv(x, params["stem"]["conv"], 2, 3, **kw)
+        x = x + params["stem"]["bias"]
+        block_fn = _apply_block_folded
+    else:
+        x = _bn(_conv(x, params["stem"]["conv"], 2, 3, **kw),
+                params["stem"]["bn"])
+        block_fn = _apply_block
     x = jax.nn.relu(x)
     x = _max_pool_3x3s2(x)
 
     for s in range(4):
         stride = 1 if s == 0 else 2
         for b, block in enumerate(params[f"layer{s + 1}"]):
-            x = _apply_block(x, block, cfg, stride if b == 0 else 1, **kw)
+            x = block_fn(x, block, cfg, stride if b == 0 else 1, **kw)
         if s == 2 and out_layer == -1:
             c4 = x
     if out_layer == -1:

@@ -250,3 +250,51 @@ class TestTolerantLoading:
                                    np.asarray(init["fc"]["kernel"]))
         np.testing.assert_allclose(merged["backbone"]["stem"]["conv"],
                                    np.asarray(donor["backbone"]["stem"]["conv"]))
+
+
+class TestFoldedBN:
+    def test_folded_matches_unfolded(self, rng):
+        from dirjax.models import fold_batchnorm
+
+        model = M.create_model("resnet18_rmac", out_dim=64)
+        params = model.init(jax.random.PRNGKey(2))
+        # random BN statistics so the fold actually does something
+        params = jax.tree.map(lambda x: x, params)
+        def perturb(node):
+            if isinstance(node, dict):
+                if "mean" in node and "var" in node:
+                    node["mean"] = jnp.asarray(
+                        np.random.default_rng(0).normal(size=node["mean"].shape),
+                        jnp.float32)
+                    node["var"] = jnp.asarray(
+                        np.random.default_rng(1).random(node["var"].shape) + 0.5,
+                        jnp.float32)
+                for v in node.values():
+                    perturb(v)
+            elif isinstance(node, list):
+                for v in node:
+                    perturb(v)
+        perturb(params)
+
+        folded = dict(params)
+        folded["backbone"] = fold_batchnorm(params["backbone"])
+        assert "bn" not in folded["backbone"]["stem"]
+        assert "bias1" in folded["backbone"]["layer1"][0]
+
+        x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+        ref = np.asarray(model.apply(params, jnp.asarray(x)))
+        out = np.asarray(model.apply(folded, jnp.asarray(x)))
+        cos = (ref * out).sum(axis=1)
+        assert np.all(cos > 0.9999), f"folded drifted: {cos}"
+
+    def test_folded_bf16(self, rng):
+        from dirjax.models import fold_batchnorm
+
+        model = M.create_model("resnet18_rmac", out_dim=64)
+        params = model.init(jax.random.PRNGKey(2))
+        folded = dict(params)
+        folded["backbone"] = fold_batchnorm(params["backbone"])
+        x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        f32 = np.asarray(model.apply(params, jnp.asarray(x)))
+        bf = np.asarray(model.apply(folded, jnp.asarray(x), dtype=jnp.bfloat16))
+        assert float((f32 * bf).sum()) > 0.99
