@@ -37,12 +37,28 @@ def add_model_args(parser: argparse.ArgumentParser, whitenp_default: float):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 conv compute (fast path)")
     parser.add_argument("--dbg", default=(), nargs="*", help="debugging options")
+    parser.add_argument("--profile", type=str, default="",
+                        help="write a jax.profiler (Perfetto/XPlane) trace "
+                             "of the run to this directory")
     parser.add_argument("--whitenp", type=float, default=whitenp_default,
                         help="whitening power")
     parser.add_argument("--whitenv", type=int, default=None,
                         help="number of whitening components")
     parser.add_argument("--whitenm", type=float, default=1.0,
                         help="whitening multiplier")
+
+
+from contextlib import contextmanager, nullcontext
+
+
+def maybe_profile(profile_dir: str):
+    """jax.profiler trace scope (the TPU-native replacement for the
+    reference's tic/toc-only observability, SURVEY.md §5)."""
+    if not profile_dir:
+        return nullcontext()
+    import jax.profiler
+
+    return jax.profiler.trace(profile_dir)
 
 
 def setup_device(gpu) -> bool:

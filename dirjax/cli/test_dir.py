@@ -43,6 +43,7 @@ def main(argv=None) -> dict:
 
     from .. import datasets
     from ..extraction import eval_model
+    from .common import maybe_profile
 
     try:
         datasets.download_dataset(args.dataset)
@@ -57,12 +58,13 @@ def main(argv=None) -> dict:
     aqe = {"k": args.aqe[0], "alpha": args.aqe[1]} if args.aqe else None
     adba = {"k": args.adba[0], "alpha": args.adba[1]} if args.adba else None
 
-    res = eval_model(
-        dataset, extractor, args.trfs, pooling=args.pooling, gemp=args.gemp,
-        detailed=args.detailed, whiten=whiten, aqe=aqe, adba=adba,
-        threads=args.threads, batch_size=args.batch_size,
-        batching=args.batching, save_feats=args.save_feats,
-        load_feats=args.load_feats, progress=True)
+    with maybe_profile(args.profile):
+        res = eval_model(
+            dataset, extractor, args.trfs, pooling=args.pooling,
+            gemp=args.gemp, detailed=args.detailed, whiten=whiten, aqe=aqe,
+            adba=adba, threads=args.threads, batch_size=args.batch_size,
+            batching=args.batching, save_feats=args.save_feats,
+            load_feats=args.load_feats, progress=True)
     print(" * " + "\n * ".join(f"{k} = {v:g}" for k, v in res.items()
                                if not isinstance(v, list)))
 

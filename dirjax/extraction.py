@@ -41,10 +41,14 @@ class FeatureExtractor:
     """
 
     def __init__(self, model: Model, params, dtype=jnp.float32,
-                 precision=None):
+                 precision=None, fused_head: Optional[bool] = None):
         self.model = model
         self.params = params
         self.dtype = dtype
+        if fused_head is None:
+            # the Pallas head kernel targets TPU; elsewhere it falls back
+            # to the XLA composition anyway
+            fused_head = jax.default_backend() == "tpu"
 
         cfg = model.config
 
@@ -54,7 +58,7 @@ class FeatureExtractor:
 
             return apply_descriptor(
                 params, images, cfg, mask=mask if with_mask else None,
-                dtype=dtype, precision=precision)
+                dtype=dtype, precision=precision, fused_head=fused_head)
 
         self._forward = _forward
 

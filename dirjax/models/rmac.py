@@ -104,7 +104,8 @@ def _pool(cfg: DescriptorConfig, params, x, mask, p_name="pool_p"):
 def apply_descriptor(params, images, cfg: DescriptorConfig, *,
                      mask: Optional[jnp.ndarray] = None,
                      train: bool = False, rng=None,
-                     dtype=jnp.float32, precision=None) -> jnp.ndarray:
+                     dtype=jnp.float32, precision=None,
+                     fused_head: bool = False) -> jnp.ndarray:
     """Compute (B, out_dim) L2-normalized global descriptors.
 
     ``images``: NHWC float input, already preprocessed (mean/std-normalized).
@@ -128,6 +129,16 @@ def apply_descriptor(params, images, cfg: DescriptorConfig, *,
             x = _dropout(x, cfg.dropout_p, rng)
         if feat_mask is not None and feat_mask.shape[1:] != x.shape[1:3]:
             feat_mask = feat_mask[:, :x.shape[1], :x.shape[2]]
+        if (fused_head and not train and cfg.pooling.startswith("gem")
+                and cfg.center_bias == 0 and not cfg.norm_features
+                and not cfg.without_fc):
+            # single Pallas kernel: masked GeM -> FC -> L2 (ops/gem_head.py)
+            from ..ops.gem_head import fused_gem_head
+
+            return fused_gem_head(
+                x.astype(jnp.float32), params.get("pool_p", cfg.gemp),
+                params["fc"]["kernel"], params["fc"]["bias"],
+                mask=feat_mask)
         desc = _pool(cfg, params, x, feat_mask)
     else:
         c4, c5 = apply_resnet(params["backbone"], images, cfg.backbone,

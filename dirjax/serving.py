@@ -1,0 +1,99 @@
+"""Serving: an HBM-resident retrieval index.
+
+The production-facing API on top of the ranking kernels — beyond the
+reference's CLI-only surface, this is what "switching from dirtorch" looks
+like for a deployed system:
+
+* descriptors live on device (optionally bf16 — halves HBM, fp32 MXU
+  accumulation keeps ranking order), either on one chip or row-sharded over
+  a mesh's "db" axis for million-image corpora;
+* ``search`` runs the fused similarity+top-k Pallas kernel (single chip) or
+  the shard_map kernel + ICI candidate merge (mesh);
+* optional on-device alpha-query-expansion before the final ranking;
+* ``save``/``load`` round-trip the index through one .npz.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.qe import expand_queries
+from .ops.topk_pallas import rank_topk_fused
+
+__all__ = ["RetrievalIndex"]
+
+
+class RetrievalIndex:
+    """Dot-product top-k search over a fixed descriptor database."""
+
+    def __init__(self, descriptors, keys: Optional[Sequence[str]] = None,
+                 mesh=None, dtype=jnp.float32):
+        descriptors = np.asarray(descriptors)
+        assert descriptors.ndim == 2, "descriptors must be (N, D)"
+        self.n = descriptors.shape[0]
+        self.dim = descriptors.shape[1]
+        self.keys = list(keys) if keys is not None else None
+        if self.keys is not None:
+            assert len(self.keys) == self.n
+        self.mesh = mesh
+        self.dtype = dtype
+        if mesh is None:
+            self._db = jnp.asarray(descriptors, dtype)
+        else:
+            from .parallel.ranking import shard_database
+
+            self._db, self._n_valid = shard_database(
+                jnp.asarray(descriptors, dtype), mesh)
+
+    # --- search ---------------------------------------------------------
+    def search(self, queries, k: int = 10, *, aqe: Optional[dict] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k (scores, indices) per query row. ``aqe={'k':, 'alpha':}``
+        expands queries against the index first (test_dir.py:24-44
+        semantics)."""
+        q = np.asarray(queries)
+        if q.ndim == 1:
+            q = q[None, :]  # single query convenience
+        assert q.shape[1] == self.dim, \
+            f"query dim {q.shape[1]} != index dim {self.dim}"
+        q = jnp.asarray(q, self.dtype)
+        if self.mesh is None:
+            if aqe:
+                q = expand_queries(q, self._db, alpha=aqe["alpha"],
+                                   k=aqe["k"]).astype(self.dtype)
+            vals, idxs = rank_topk_fused(q, self._db, k)
+        else:
+            from .parallel.ranking import sharded_aqe, sharded_topk
+
+            if aqe:
+                q = sharded_aqe(q.astype(jnp.float32), self._db, self.mesh,
+                                self._n_valid, alpha=aqe["alpha"],
+                                k=aqe["k"]).astype(self.dtype)
+            vals, idxs = sharded_topk(q, self._db, k, self.mesh, self._n_valid)
+        return np.asarray(vals), np.asarray(idxs)
+
+    def lookup(self, indices) -> list:
+        """Map result indices back to image keys."""
+        assert self.keys is not None, "index was built without keys"
+        return [[self.keys[j] for j in row] for row in np.asarray(indices)]
+
+    # --- persistence ------------------------------------------------------
+    def save(self, path: str) -> None:
+        db = np.asarray(self._db[: self.n] if self.mesh is None
+                        else self._db[: self.n])
+        arrays = {"descriptors": db.astype(np.float32)}
+        if self.keys is not None:
+            arrays["keys"] = np.asarray(self.keys)
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
+
+    @classmethod
+    def load(cls, path: str, mesh=None, dtype=jnp.float32) -> "RetrievalIndex":
+        with np.load(path, allow_pickle=False) as data:
+            descs = data["descriptors"]
+            keys = [str(k) for k in data["keys"]] if "keys" in data else None
+        return cls(descs, keys=keys, mesh=mesh, dtype=dtype)
