@@ -102,12 +102,26 @@ def _pick_h_tile(h: int, w: int, c: int, budget_bytes: int = 4 * 2 ** 20) -> int
     return min(((h + 7) // 8) * 8, ht)
 
 
+def _pick_d_tile(d: int):
+    """Weight-DMA tile: full width when it fits VMEM, else a 128-aligned
+    divisor (Mosaic lane slices must be 128-aligned, and so must the weight
+    array's lane dim itself). None = not tileable -> XLA fallback."""
+    if d % 128 != 0:
+        return None
+    if d <= 512:
+        return d
+    for cand in (512, 384, 256, 128):
+        if d % cand == 0:
+            return cand
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def _fused_call(x, mask, p, w, b, eps: float = _EPS, interpret: bool = False):
     B, H, W, C = x.shape
     D = w.shape[1]
-    d_tile = min(D, 512)
-    assert D % d_tile == 0
+    d_tile = _pick_d_tile(D)
+    assert d_tile is not None and D % d_tile == 0
 
     ht = _pick_h_tile(H, W, C)
     h_tiles = pl.cdiv(H, ht)
@@ -158,6 +172,8 @@ def fused_gem_head(x, p, w, b, mask: Optional[jnp.ndarray] = None,
         mask_arr = jnp.asarray(mask, jnp.float32)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and _pick_d_tile(int(w.shape[1])) is None:
+        use_pallas = False  # out_dim not 128-tileable for the weight DMA
     if not use_pallas:
         m = None if mask is None else jnp.asarray(mask)
         return gem_head_reference(x, m, p, w, b, eps)
