@@ -309,7 +309,40 @@ def load_native(path: str) -> Checkpoint:
 
 
 def load_checkpoint(path: str) -> Checkpoint:
-    """Load either format: native ``.npz`` or reference torch ``.pt``."""
-    if path.endswith(".npz"):
-        return load_native(path)
-    return load_torch_checkpoint(path)
+    """Load either format: native ``.npz`` or reference torch ``.pt``.
+
+    Dispatch sniffs the content (both formats are zip archives, and names
+    like ``checkpoint.npz.best`` defeat extension checks): a native archive
+    always carries the ``__meta__`` member."""
+    try:
+        with np.load(path, allow_pickle=False) as data:
+            is_native = "__meta__" in data.files
+    except Exception:
+        is_native = False
+    return load_native(path) if is_native else load_torch_checkpoint(path)
+
+
+def save_torch_checkpoint(path: str, ckpt: Checkpoint) -> None:
+    """Export a Checkpoint in the reference's ``.pt`` schema so the original
+    dirtorch toolbox can consume models trained here (the inverse of
+    :func:`load_torch_checkpoint`). PCA arrays are stored as plain dicts
+    readable by ``common.transform(use_sklearn=False)``-style consumers and
+    by our loader."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in params_to_state_dict(ckpt.params, ckpt.model).items()}
+    payload = {
+        "state_dict": sd,
+        "model_options": {"arch": ckpt.model.arch,
+                          **_config_options(ckpt.model)},
+        "preprocess": ckpt.preprocess,
+        "pca": {name: {"mean": np.asarray(p.mean),
+                       "components": np.asarray(p.components),
+                       "variance": np.asarray(p.variance)}
+                for name, p in ckpt.pca.items()},
+        **{k: v for k, v in ckpt.extra.items()
+           if isinstance(v, (int, float, str))},
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(payload, path)
