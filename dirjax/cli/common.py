@@ -26,6 +26,9 @@ def add_model_args(parser: argparse.ArgumentParser, whitenp_default: float):
     parser.add_argument("--gemp", type=int, default=3, help="GeM pooling power")
     parser.add_argument("--threads", type=int, default=8,
                         help="number of loader threads")
+    parser.add_argument("--processes", type=int, default=0,
+                        help="decode in N worker processes (multi-core "
+                             "hosts; 0 = threads only)")
     parser.add_argument("--batch-size", type=int, default=8,
                         help="extraction batch size")
     parser.add_argument("--batching", type=str, default="group",

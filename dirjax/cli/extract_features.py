@@ -18,8 +18,8 @@ from .common import add_model_args, load_extractor, setup_device
 
 
 def extract_features(db, extractor, trfs, *, pooling="mean", gemp=3,
-                     whiten=None, threads=8, batch_size=8, batching="group",
-                     output=None, progress=False):
+                     whiten=None, threads=8, processes=0, batch_size=8,
+                     batching="group", output=None, progress=False):
     """Extract + pool + whiten descriptors and save (reference
     extract_features.py:26-68)."""
     from .. import ops
@@ -32,8 +32,8 @@ def extract_features(db, extractor, trfs, *, pooling="mean", gemp=3,
         query_db = None
 
     trfs_list = [trfs] if isinstance(trfs, str) else list(trfs)
-    kw = dict(threads=threads, batch_size=batch_size, batching=batching,
-              progress=progress)
+    kw = dict(threads=threads, processes=processes, batch_size=batch_size,
+              batching=batching, progress=progress)
     bl, ql = [], []
     for chain in trfs_list:
         bl.append(extract_image_features(db, chain, extractor, desc="DB", **kw))
@@ -87,8 +87,9 @@ def main(argv=None):
     ckpt, extractor, whiten = load_extractor(args)
     return extract_features(
         dataset, extractor, args.trfs, pooling=args.pooling, gemp=args.gemp,
-        whiten=whiten, threads=args.threads, batch_size=args.batch_size,
-        batching=args.batching, output=args.output, progress=True)
+        whiten=whiten, threads=args.threads, processes=args.processes,
+        batch_size=args.batch_size, batching=args.batching,
+        output=args.output, progress=True)
 
 
 if __name__ == "__main__":

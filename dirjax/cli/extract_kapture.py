@@ -21,7 +21,8 @@ from .common import add_model_args, load_extractor, setup_device
 def extract_kapture_global_features(kapture_root_path: str, extractor,
                                     global_features_type: str, trfs,
                                     pooling="mean", gemp=3, whiten=None,
-                                    threads=8, batch_size=8, batching="group"):
+                                    threads=8, processes=0, batch_size=8,
+                                    batching="group"):
     try:
         import kapture
         from kapture.io.csv import (get_all_tar_handlers,
@@ -70,7 +71,8 @@ def extract_kapture_global_features(kapture_root_path: str, extractor,
 
         trfs_list = [trfs] if isinstance(trfs, str) else list(trfs)
         descs = [extract_image_features(dataset, chain, extractor, desc="DB",
-                                        threads=threads, batch_size=batch_size,
+                                        threads=threads, processes=processes,
+                                        batch_size=batch_size,
                                         batching=batching, progress=True)
                  for chain in trfs_list]
         bdescs = np.asarray(ops.pool_descriptors(

@@ -62,7 +62,8 @@ def main(argv=None) -> dict:
         res = eval_model(
             dataset, extractor, args.trfs, pooling=args.pooling,
             gemp=args.gemp, detailed=args.detailed, whiten=whiten, aqe=aqe,
-            adba=adba, threads=args.threads, batch_size=args.batch_size,
+            adba=adba, threads=args.threads, processes=args.processes,
+            batch_size=args.batch_size,
             batching=args.batching, save_feats=args.save_feats,
             load_feats=args.load_feats, progress=True)
     print(" * " + "\n * ".join(f"{k} = {v:g}" for k, v in res.items()

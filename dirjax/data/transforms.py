@@ -454,29 +454,43 @@ class RandomErasing(StillTransform):
 
 
 class ToArray(StillTransform):
-    """PIL -> float32 numpy HWC in [0, 1] (the NHWC analog of torchvision
-    ToTensor)."""
+    """PIL -> numpy HWC: float32 in [0, 1] by default (the NHWC analog of
+    torchvision ToTensor), or raw uint8 with ``dtype='uint8'`` for the
+    normalize-on-device pipeline (4x fewer host->device bytes and ~100x less
+    host CPU; the extractor applies (x/255 - mean)/std on device).
+
+    NB: goes through uint8 + astype — ``np.asarray(img, dtype=float32)``
+    takes PIL's per-pixel float converter and measured ~85x slower.
+    """
+
+    def __init__(self, dtype: str = "float32"):
+        self.dtype = dtype
 
     def _transform(self, img):
         if isinstance(img, G.DummyImg):
             return img
-        arr = np.asarray(img, dtype=np.float32) / 255.0
+        arr = np.asarray(img)
         if arr.ndim == 2:
             arr = arr[..., None]
-        return arr
+        if self.dtype == "uint8":
+            return np.ascontiguousarray(arr)
+        return arr.astype(np.float32) * np.float32(1.0 / 255.0)
 
 
 class Normalize(StillTransform):
-    """Channel-wise (x - mean) / std on an HWC float array."""
+    """Channel-wise (x - mean) / std on an HWC float array (precomputed as
+    one fused multiply-subtract)."""
 
     def __init__(self, mean, std):
         self.mean = np.asarray(mean, dtype=np.float32)
         self.std = np.asarray(std, dtype=np.float32)
+        self._inv_std = (1.0 / self.std).astype(np.float32)
+        self._off = (self.mean / self.std).astype(np.float32)
 
     def _transform(self, img):
         if isinstance(img, G.DummyImg):
             return img
-        return (img - self.mean) / self.std
+        return img * self._inv_std - self._off
 
 
 class BBoxToPixelLabel:

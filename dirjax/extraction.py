@@ -51,11 +51,19 @@ class FeatureExtractor:
             fused_head = jax.default_backend() == "tpu"
 
         cfg = model.config
+        pre = model.preprocess
+        scale = tuple(1.0 / (255.0 * s) for s in pre["std"])
+        offset = tuple(m / s for m, s in zip(pre["mean"], pre["std"]))
 
         @partial(jax.jit, static_argnames=("with_mask",))
         def _forward(params, images, mask, with_mask):
             from .models.rmac import apply_descriptor
 
+            if images.dtype == jnp.uint8:
+                # normalize-on-device path: host ships raw uint8 pixels
+                images = (images.astype(jnp.float32)
+                          * jnp.asarray(scale, jnp.float32)
+                          - jnp.asarray(offset, jnp.float32))
             return apply_descriptor(
                 params, images, cfg, mask=mask if with_mask else None,
                 dtype=dtype, precision=precision, fused_head=fused_head)
@@ -73,7 +81,8 @@ class FeatureExtractor:
 def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor,
                            *, flip: Optional[Sequence[int]] = None,
                            batching: str = "group", batch_size: int = 8,
-                           threads: int = 8, bucket_multiple: int = 64,
+                           threads: int = 8, processes: int = 0,
+                           bucket_multiple: int = 64,
                            desc: str = "extract", progress: bool = False) -> np.ndarray:
     """Extract a (N, D) descriptor matrix for every image of ``dataset``.
 
@@ -83,14 +92,15 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
     """
     preprocess = extractor.model.preprocess
     loader = get_loader(dataset, trf_chain=transforms, preprocess=preprocess,
-                        output=("img",), totensor=True)
+                        output=("img",), totensor=True, device_normalize=True)
     order = range(len(dataset))
 
     n = len(dataset)
     out: Optional[np.ndarray] = None
     done = 0
     batches = iterate_batches(loader, order, batch_size=batch_size,
-                              threads=threads, batching=batching,
+                              threads=threads, processes=processes,
+                              batching=batching,
                               bucket_multiple=bucket_multiple)
     if progress:
         import tqdm
@@ -113,8 +123,8 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
 
 def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
                gemp=3, detailed=False, whiten=None, aqe=None, adba=None,
-               threads=8, batch_size=8, batching="group", save_feats=None,
-               load_feats=None, progress=False) -> dict:
+               threads=8, processes=0, batch_size=8, batching="group",
+               save_feats=None, load_feats=None, progress=False) -> dict:
     """Full benchmark evaluation (reference ``eval_model``, test_dir.py:97-180):
     extract DB+query descriptors over one or more transform chains, pool,
     whiten, expand, rank, and compute mAP / top-k under the dataset's
@@ -134,7 +144,8 @@ def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
                   if query_db is not db else bdescs)
     else:
         trfs_list = [trfs] if isinstance(trfs, str) else list(trfs)
-        kw = dict(batch_size=batch_size, threads=threads, progress=progress)
+        kw = dict(batch_size=batch_size, threads=threads, processes=processes,
+                  progress=progress)
         bl, ql = [], []
         for chain in trfs_list:
             # chains with Pad/Crop produce same-size outputs (reference

@@ -38,11 +38,19 @@ class ShardedExtractor:
         batch_sharding = NamedSharding(mesh, P(axis))
         self.params = jax.device_put(params, NamedSharding(mesh, P()))
 
+        pre = model.preprocess
+        scale = tuple(1.0 / (255.0 * s) for s in pre["std"])
+        offset = tuple(m / s for m, s in zip(pre["mean"], pre["std"]))
+
         @functools.partial(jax.jit, static_argnames=("with_mask",),
                            in_shardings=(NamedSharding(mesh, P()),
                                          batch_sharding, batch_sharding),
                            out_shardings=batch_sharding)
         def _forward(params, images, mask, with_mask):
+            if images.dtype == jnp.uint8:
+                images = (images.astype(jnp.float32)
+                          * jnp.asarray(scale, jnp.float32)
+                          - jnp.asarray(offset, jnp.float32))
             return apply_descriptor(params, images, cfg,
                                     mask=mask if with_mask else None,
                                     dtype=dtype, precision=precision)
