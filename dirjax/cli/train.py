@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="initialize from a checkpoint (.pt or .npz)")
     parser.add_argument("--delete-fc", action="store_true",
                         help="drop the checkpoint's FC (new out_dim)")
+    parser.add_argument("--resume", type=str, default="",
+                        help="resume from a previous fit's checkpoint.npz")
     parser.add_argument("--out-dir", type=str, required=True)
     parser.add_argument("--threads", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
@@ -87,10 +89,13 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model, params, history = fit(
         dataset, cfg, val_dataset=val_dataset, params=params,
-        out_dir=args.out_dir, dtype=dtype,
+        out_dir=args.out_dir, dtype=dtype, resume=args.resume or None,
         steps_per_epoch=args.steps_per_epoch, progress=True)
     for h in history:
-        print(f"epoch {h['epoch']}: loss {h['loss']:.4f}")
+        line = f"epoch {h['epoch']}: loss {h['loss']:.4f}"
+        if "val_loss" in h:
+            line += f"  val_loss {h['val_loss']:.4f}"
+        print(line)
     return history
 
 

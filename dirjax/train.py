@@ -205,15 +205,75 @@ def save_checkpoint(state: Checkpoint, is_best: bool, filename: str):
         print(f"Error: Could not save checkpoint at {filename}, skipping ({e})")
 
 
+def _save_opt_state(path: str, opt_state) -> None:
+    """Persist an optax state as numbered leaves (the tree structure is
+    reconstructed from a fresh tx.init on resume)."""
+    leaves = jax.tree.leaves(opt_state)
+    arrays = {f"leaf{i:05d}": np.asarray(v) for i, v in enumerate(leaves)}
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def _load_opt_state(path: str, template):
+    with np.load(path, allow_pickle=False) as data:
+        leaves = [data[f"leaf{i:05d}"] for i in range(len(data.files))]
+    treedef = jax.tree.structure(template)
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def evaluate_val_loss(model, params, cfg: TrainConfig, val_dataset,
+                      dtype=jnp.float32) -> float:
+    """Mean in-batch AP loss over the validation dataset (deterministic
+    center-crop chain)."""
+    loss_fn = make_loss(cfg)
+    mcfg = model.config
+
+    @jax.jit
+    def val_step(params, images, labels):
+        descs = apply_descriptor(params, images, mcfg, dtype=dtype)
+        return batch_ap_loss(descs, labels, loss_fn)
+
+    chain = f"Scale({cfg.image_size + 32}), CenterCrop({cfg.image_size})"
+    loader = get_loader(val_dataset, chain, preprocess=model.preprocess,
+                        output=("img", "label"), totensor=True)
+    losses_v = []
+    for batch in iterate_batches(loader, range(len(val_dataset)),
+                                 batch_size=cfg.batch_size,
+                                 threads=cfg.threads, batching="group"):
+        if len(batch.indices) < 2:
+            continue
+        losses_v.append(float(val_step(params, jnp.asarray(batch.images),
+                                       jnp.asarray(batch.fields["label"]))))
+    return float(np.mean(losses_v)) if losses_v else float("nan")
+
+
 def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
         out_dir: Optional[str] = None, dtype=jnp.float32,
-        steps_per_epoch: Optional[int] = None, progress: bool = False):
-    """Fine-tune on a labeled dataset; returns (model, params, history)."""
+        steps_per_epoch: Optional[int] = None, progress: bool = False,
+        resume: Optional[str] = None):
+    """Fine-tune on a labeled dataset; returns (model, params, history).
+
+    ``resume``: path to a checkpoint.npz written by a previous fit — params,
+    optimizer state and epoch counter are restored (reference
+    load_checkpoint's resume semantics, common.py:117-147)."""
     model = create_model(cfg.arch, out_dim=cfg.out_dim)
     if params is None:
         params = model.init(jax.random.PRNGKey(cfg.seed))
+
+    start_epoch = 0
+    opt_path = None
+    if resume:
+        ckpt = load_native(resume)
+        assert ckpt.model.arch == cfg.arch, \
+            f"resume arch {ckpt.model.arch} != config arch {cfg.arch}"
+        params = ckpt.params
+        start_epoch = int(ckpt.extra.get("epoch", -1)) + 1
+        opt_path = resume + ".opt"
+
     tx = make_optimizer(cfg, params)
     opt_state = tx.init(params)
+    if opt_path and os.path.exists(opt_path):
+        opt_state = _load_opt_state(opt_path, opt_state)
     step = make_train_step(model, cfg, tx, dtype=dtype)
 
     loader = get_loader(dataset, cfg.trfs, preprocess=model.preprocess,
@@ -222,7 +282,7 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
 
     history = []
     best = float("inf")
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         order = list(iter(sampler))
         if steps_per_epoch:
             order = order[: steps_per_epoch * cfg.batch_size]
@@ -241,14 +301,21 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
                 params, opt_state, jnp.asarray(batch.images), labels)
             epoch_losses.append(float(loss_val))
         mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
-        history.append({"epoch": epoch, "loss": mean_loss})
+        record = {"epoch": epoch, "loss": mean_loss}
+        monitor = mean_loss
+        if val_dataset is not None:
+            record["val_loss"] = evaluate_val_loss(model, params, cfg,
+                                                   val_dataset, dtype=dtype)
+            monitor = record["val_loss"]
+        history.append(record)
         if out_dir:
+            path = os.path.join(out_dir, "checkpoint.npz")
             ckpt = Checkpoint(model=model, params=params,
                               preprocess=model.preprocess,
                               extra={"epoch": epoch})
-            save_checkpoint(ckpt, mean_loss < best,
-                            os.path.join(out_dir, "checkpoint.npz"))
-        best = min(best, mean_loss)
+            save_checkpoint(ckpt, monitor < best, path)
+            _save_opt_state(path + ".opt", opt_state)
+        best = min(best, monitor)
     return model, params, history
 
 
