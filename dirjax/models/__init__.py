@@ -9,4 +9,10 @@ from .resnet import (  # noqa: F401
     is_folded,
 )
 from .rmac import DescriptorConfig, apply_descriptor, init_descriptor  # noqa: F401
-from .registry import Model, create_model, model_names, register_model  # noqa: F401
+from .registry import (  # noqa: F401
+    Model,
+    create_model,
+    model_names,
+    model_size,
+    register_model,
+)

@@ -15,7 +15,7 @@ from typing import Any, Callable, Dict
 from .resnet import RESNET_CONFIGS, ResNetConfig
 from .rmac import DescriptorConfig, apply_descriptor, init_descriptor
 
-__all__ = ["Model", "create_model", "model_names", "register_model"]
+__all__ = ["Model", "create_model", "model_names", "model_size", "register_model"]
 
 _FACTORIES: Dict[str, Callable[..., DescriptorConfig]] = {}
 
@@ -40,6 +40,15 @@ class Model:
     @property
     def feat_dim(self) -> int:
         return self.config.feat_dim
+
+
+def model_size(params) -> int:
+    """Total number of parameters in a pytree (reference
+    ``utils/common.py:178-184``)."""
+    import jax
+    import numpy as np
+
+    return int(sum(np.prod(np.shape(leaf)) for leaf in jax.tree.leaves(params)))
 
 
 def register_model(name: str, factory: Callable[..., DescriptorConfig]):

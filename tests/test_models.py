@@ -298,3 +298,16 @@ class TestFoldedBN:
         f32 = np.asarray(model.apply(params, jnp.asarray(x)))
         bf = np.asarray(model.apply(folded, jnp.asarray(x), dtype=jnp.bfloat16))
         assert float((f32 * bf).sum()) > 0.99
+
+
+class TestModelSize:
+    @pytest.mark.skipif(REF_NETS is None, reason="reference not importable")
+    def test_matches_torch_param_count(self):
+        import torch
+
+        ref = REF_NETS.create_model("resnet18_rmac", pretrained="", out_dim=64)
+        ref_size = sum(v.numel() for k, v in ref.state_dict().items()
+                       if not k.endswith("num_batches_tracked"))
+        model = M.create_model("resnet18_rmac", out_dim=64)
+        params = model.init(jax.random.PRNGKey(0))
+        assert M.model_size(params) == ref_size

@@ -179,3 +179,49 @@ class TestAffineTools:
     def test_persp_identity(self):
         ident = (1, 0, 0, 0, 1, 0, 0, 0)
         assert G.persp_mul(ident, (3.0, 4.0)) == (3.0, 4.0)
+
+
+class TestBBoxToPixelLabel:
+    def _sample(self, mode):
+        img = Image.new("RGB", (32, 16))
+        return {"img": img, "bbox": (8, 4, 24, 12), "label": 2}, mode
+
+    def test_dense_map(self):
+        sample, _ = self._sample("regr")
+        out = T.BBoxToPixelLabel(nclass=5, downsize=8, mode="regr")(sample)
+        dense = out["pix_label"]
+        assert dense.shape == (2, 4)
+        assert dense[0, 1] == 2       # inside bbox
+        assert dense[0, 0] == 5       # null class outside
+        np.testing.assert_array_equal(out["bbox_downscaled"], [1, 0, 3, 2])
+
+    def test_hough_bins_clipped(self):
+        sample, _ = self._sample("hough")
+        out = T.BBoxToPixelLabel(nclass=5, downsize=8, mode="hough")(sample)
+        h = out["pix_bbox_hough"]
+        assert h.shape == (4, 2, 4)
+        assert h.min() >= 0 and h.max() <= 4
+
+    def test_unknown_mode(self):
+        sample, _ = self._sample("nope")
+        with pytest.raises(NotImplementedError):
+            T.BBoxToPixelLabel(nclass=5, downsize=8, mode="nope")(sample)
+
+
+class TestHomographyPropagation:
+    def test_tilting_bbox_follows_pixels(self):
+        """Track a bright square through RandomTilting via the persp tuple:
+        the reported bbox must cover where the pixels actually landed."""
+        np.random.seed(3)
+        import random as _r
+        _r.seed(3)
+        arr = np.zeros((64, 64, 3), np.uint8)
+        arr[24:40, 24:40] = 255
+        sample = {"img": Image.fromarray(arr), "bbox": (24, 24, 40, 40)}
+        out = T.RandomTilting(0.4)(sample)
+        bright = np.asarray(out["img"]).sum(axis=2) > 300
+        ys, xs = np.where(bright)
+        l, t, r, b = out["bbox"]
+        # the propagated bbox center must sit within the bright region's span
+        assert xs.min() - 6 <= (l + r) / 2 <= xs.max() + 6
+        assert ys.min() - 6 <= (t + b) / 2 <= ys.max() + 6
