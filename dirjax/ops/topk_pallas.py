@@ -103,16 +103,21 @@ def _fused(q, db, k: int, tile_rows: int, interpret: bool):
     return merged_vals, merged_idxs
 
 
-def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: int = 512,
+def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None,
                     use_pallas: Optional[bool] = None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k (values, db indices) per query without materializing scores.
 
     ``db_descs`` may be bf16 (recommended for serving); scores accumulate
-    in fp32 on the MXU either way.
+    in fp32 on the MXU either way. ``tile_rows`` defaults to a ~4 MB DB tile
+    (double-buffered 8 MB of the 16 MB VMEM): bigger tiles amortize per-grid-
+    step overhead — measured +60% QPS at 1M x 2048 going 512 -> 1024 rows.
     """
     q = jnp.asarray(qdescs)
     db = jnp.asarray(db_descs)
+    if tile_rows is None:
+        bytes_per_row = db.shape[1] * db.dtype.itemsize
+        tile_rows = max(256, (4 * 2 ** 20 // bytes_per_row) // 256 * 256)
     if q.dtype != db.dtype:
         q = q.astype(db.dtype)
     if use_pallas is None:
