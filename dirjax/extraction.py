@@ -111,7 +111,13 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
         if flip is not None:
             for r, idx in enumerate(batch.indices):
                 if flip[idx]:
-                    images[r] = images[r, :, ::-1]
+                    if batch.mask is None:
+                        images[r] = images[r, :, ::-1]
+                    else:
+                        # flip only the valid region so it stays aligned
+                        # with the validity mask of the padded canvas
+                        w = int(batch.mask[r][0].sum())
+                        images[r, :, :w] = images[r, :, w - 1::-1]
         descs = np.asarray(extractor(images, batch.mask))
         if out is None:
             out = np.zeros((n, descs.shape[1]), np.float32)

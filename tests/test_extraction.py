@@ -126,3 +126,24 @@ class TestEvalModel:
         res1 = eval_model(synth, extractor, "", save_feats=p)
         res2 = eval_model(synth, extractor, "", load_feats=p)
         assert res1["mAP-medium"] == pytest.approx(res2["mAP-medium"])
+
+
+class TestFlipWithBuckets:
+    def test_flip_stays_mask_aligned(self, synth, extractor):
+        """Flip TTA on padded bucket batches must flip only the valid
+        region; flipping the full canvas would shift content into the
+        padding and out of the mask."""
+        kw = dict(batching="bucket", bucket_multiple=128, batch_size=4)
+        flip_all = [1] * len(synth)
+        flip_b = extract_image_features(synth, "", extractor, flip=flip_all, **kw)
+        flip_s = extract_image_features(synth, "", extractor, flip=flip_all,
+                                        batching="single")
+        cos_flip = (flip_b * flip_s).sum(axis=1)
+        # baseline bucket drift without flip (pure conv halo on these tiny
+        # images); a canvas-wide flip bug would send cos_flip toward 0
+        plain_b = extract_image_features(synth, "", extractor, **kw)
+        plain_s = extract_image_features(synth, "", extractor,
+                                         batching="single")
+        cos_plain = (plain_b * plain_s).sum(axis=1)
+        assert cos_flip.min() > cos_plain.min() - 0.05, \
+            f"flip/mask misalignment: {cos_flip.min()} vs {cos_plain.min()}"
