@@ -51,7 +51,7 @@ def add_model_args(parser: argparse.ArgumentParser, whitenp_default: float):
                         help="whitening multiplier")
 
 
-from contextlib import contextmanager, nullcontext
+from contextlib import nullcontext
 
 
 def maybe_profile(profile_dir: str):

@@ -15,7 +15,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from .common import add_model_args, load_extractor, setup_device
+from .common import load_extractor, setup_device
 
 
 def extract_kapture_global_features(kapture_root_path: str, extractor,

@@ -19,7 +19,6 @@ reference pytorch_loader.py:184-249) and the small loader helpers.
 
 from __future__ import annotations
 
-import math
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Iterator, Optional, Sequence

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ops
-from .data.loader import SampleLoader, get_loader, iterate_batches
+from .data.loader import get_loader, iterate_batches
 from .models import Model
 from .utils import evaluation as ev
 

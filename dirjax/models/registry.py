@@ -8,11 +8,11 @@ an explicit registry; ``create_model`` returns a :class:`Model` bundle of
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
-from .resnet import RESNET_CONFIGS, ResNetConfig
+from .resnet import RESNET_CONFIGS
 from .rmac import DescriptorConfig, apply_descriptor, init_descriptor
 
 __all__ = ["Model", "create_model", "model_names", "model_size", "register_model"]

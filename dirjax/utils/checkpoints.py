@@ -23,11 +23,10 @@ used for our own training checkpoints.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
