@@ -157,12 +157,24 @@ def init_resnet(key, cfg: ResNetConfig) -> Dict[str, Any]:
 # --------------------------------------------------------------------------
 
 def _conv(x, w, stride=1, padding=0, groups=1, *, dtype, precision,
-          out_dtype=jnp.float32):
+          out_dtype=jnp.float32, grad_safe=False):
     """NHWC conv. ``out_dtype``: fp32 for the BN-affine path (accumulation
     stays fp32 across the elementwise chain); the folded inference path
     emits ``dtype`` directly so activations stay bf16 in HBM (the MXU still
-    accumulates fp32 internally either way)."""
+    accumulates fp32 internally either way).
+
+    ``grad_safe``: under autodiff, a conv whose preferred output dtype
+    differs from its input dtype produces a mixed-dtype transpose call
+    (f32 cotangent vs bf16 weights) that jax rejects; emit the input dtype
+    and convert explicitly instead (measured ~6% slower — training only)."""
     pad = ((padding, padding), (padding, padding))
+    if grad_safe and dtype != out_dtype:
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype),
+            window_strides=(stride, stride), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups, precision=precision)
+        return out.astype(out_dtype)
     out = jax.lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype),
         window_strides=(stride, stride), padding=pad,
@@ -232,22 +244,23 @@ def _stem_conv_s2d(x, w, *, dtype, precision):
     return out
 
 
-def _apply_block(x, p, cfg: ResNetConfig, stride: int, *, dtype, precision):
+def _apply_block(x, p, cfg: ResNetConfig, stride: int, *, dtype, precision,
+                 grad_safe=False):
     residual = x
+    ckw = dict(dtype=dtype, precision=precision, grad_safe=grad_safe)
     if cfg.block == "basic":
-        out = _bn(_conv(x, p["conv1"], stride, 1, dtype=dtype, precision=precision), p["bn1"])
+        out = _bn(_conv(x, p["conv1"], stride, 1, **ckw), p["bn1"])
         out = jax.nn.relu(out)
-        out = _bn(_conv(out, p["conv2"], 1, 1, dtype=dtype, precision=precision), p["bn2"])
+        out = _bn(_conv(out, p["conv2"], 1, 1, **ckw), p["bn2"])
     else:
-        out = _bn(_conv(x, p["conv1"], 1, 0, dtype=dtype, precision=precision), p["bn1"])
+        out = _bn(_conv(x, p["conv1"], 1, 0, **ckw), p["bn1"])
         out = jax.nn.relu(out)
-        out = _bn(_conv(out, p["conv2"], stride, 1, cfg.groups,
-                        dtype=dtype, precision=precision), p["bn2"])
+        out = _bn(_conv(out, p["conv2"], stride, 1, cfg.groups, **ckw), p["bn2"])
         out = jax.nn.relu(out)
-        out = _bn(_conv(out, p["conv3"], 1, 0, dtype=dtype, precision=precision), p["bn3"])
+        out = _bn(_conv(out, p["conv3"], 1, 0, **ckw), p["bn3"])
     if "downsample" in p:
         residual = _bn(
-            _conv(x, p["downsample"]["conv"], stride, 0, dtype=dtype, precision=precision),
+            _conv(x, p["downsample"]["conv"], stride, 0, **ckw),
             p["downsample"]["bn"])
     return jax.nn.relu(out + residual.astype(out.dtype))
 
@@ -299,7 +312,7 @@ def is_folded(params) -> bool:
 
 
 def _apply_block_folded(x, p, cfg: ResNetConfig, stride: int, *, dtype,
-                        precision):
+                        precision, grad_safe=False):
     def cb(x_, w, b, stride_, pad_, groups=1):
         # f32 conv output: bf16-out conv lowerings measured ~8x slower on
         # v5e; the epilogue (bias+relu+cast) fuses into the conv either way
@@ -323,7 +336,7 @@ def _apply_block_folded(x, p, cfg: ResNetConfig, stride: int, *, dtype,
 
 def apply_resnet(params, x, cfg: ResNetConfig, *, out_layer: int = 0,
                  dtype=jnp.float32,
-                 precision=None, stem_s2d: bool = False):
+                 precision=None, stem_s2d: bool = False, grad_safe: bool = False):
     """Backbone forward on NHWC input (B, H, W, 3).
 
     ``out_layer=0`` returns the C5 feature map (B, H/32, W/32, 512*exp);
@@ -332,11 +345,14 @@ def apply_resnet(params, x, cfg: ResNetConfig, *, out_layer: int = 0,
     ``dtype`` is the conv compute dtype (bf16 for speed); activations between
     convs stay fp32 (XLA fuses the elementwise chain into the conv epilogue).
     """
-    kw = dict(dtype=dtype, precision=precision)
+    kw = dict(dtype=dtype, precision=precision, grad_safe=grad_safe)
     folded = "bn" not in params["stem"]
-    stem_conv = (_stem_conv_s2d if stem_s2d else
-                 (lambda x_, w_, **k: _conv(x_, w_, 2, 3, **k)))
+    stem_conv = (
+        (lambda x_, w_, **k: _stem_conv_s2d(
+            x_, w_, **{kk: vv for kk, vv in k.items() if kk != "grad_safe"}))
+        if stem_s2d else (lambda x_, w_, **k: _conv(x_, w_, 2, 3, **k)))
     if folded:
+        kw.pop("grad_safe", None)  # folded path is inference-only
         x = stem_conv(x, params["stem"]["conv"], **kw)
         x = x + params["stem"]["bias"]
         block_fn = _apply_block_folded

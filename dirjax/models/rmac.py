@@ -124,7 +124,7 @@ def apply_descriptor(params, images, cfg: DescriptorConfig, *,
 
     if cfg.fpn_mode is None:
         x = apply_resnet(params["backbone"], images, cfg.backbone,
-                         dtype=dtype, precision=precision)
+                         dtype=dtype, precision=precision, grad_safe=train)
         if cfg.dropout_p is not None and train:
             x = _dropout(x, cfg.dropout_p, rng)
         if feat_mask is not None and feat_mask.shape[1:] != x.shape[1:3]:
@@ -142,7 +142,8 @@ def apply_descriptor(params, images, cfg: DescriptorConfig, *,
         desc = _pool(cfg, params, x, feat_mask)
     else:
         c4, c5 = apply_resnet(params["backbone"], images, cfg.backbone,
-                              out_layer=-1, dtype=dtype, precision=precision)
+                              out_layer=-1, dtype=dtype, precision=precision,
+                              grad_safe=train)
         if cfg.fpn_mode == 1:
             # nearest-neighbor upsample C5 to C4 resolution, 1x1 conv, merge
             up = jnp.repeat(jnp.repeat(c5, 2, axis=1), 2, axis=2)

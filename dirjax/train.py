@@ -129,7 +129,7 @@ def make_train_step(model: Model, cfg: TrainConfig, tx, dtype=jnp.float32):
     @jax.jit
     def step(params, opt_state, images, labels):
         def objective(p):
-            descs = apply_descriptor(p, images, mcfg, dtype=dtype)
+            descs = apply_descriptor(p, images, mcfg, dtype=dtype, train=True)
             return batch_ap_loss(descs, labels, loss_fn)
 
         loss_val, grads = jax.value_and_grad(objective)(params)
@@ -178,7 +178,7 @@ def make_sharded_train_step(model: Model, cfg: TrainConfig, tx, mesh,
     @jax.jit
     def step(params, opt_state, images, labels):
         def objective(p):
-            descs = apply_descriptor(p, images, mcfg, dtype=dtype)
+            descs = apply_descriptor(p, images, mcfg, dtype=dtype, train=True)
             return batch_ap_loss(descs, labels, loss_fn)
 
         loss_val, grads = jax.value_and_grad(objective)(params)

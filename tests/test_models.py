@@ -311,3 +311,19 @@ class TestModelSize:
         model = M.create_model("resnet18_rmac", out_dim=64)
         params = model.init(jax.random.PRNGKey(0))
         assert M.model_size(params) == ref_size
+
+
+class TestFPNMasked:
+    def test_fpn_masked_close_to_exact(self, rng):
+        model = M.create_model("resnet18_fpn_rmac", out_dim=96)
+        params = model.init(jax.random.PRNGKey(1))
+        x = rng.normal(size=(1, 128, 128, 3)).astype(np.float32)
+        exact = np.asarray(model.apply(params, jnp.asarray(x)))
+        canvas = np.zeros((1, 160, 160, 3), np.float32)
+        canvas[:, :128, :128] = x
+        mask = np.zeros((1, 160, 160), bool)
+        mask[:, :128, :128] = True
+        masked = np.asarray(model.apply(params, jnp.asarray(canvas),
+                                        mask=jnp.asarray(mask)))
+        cos = float((exact * masked).sum())
+        assert cos > 0.95, f"FPN masked-pad drifted: {cos}"

@@ -121,3 +121,18 @@ class TestShardedTrainStep:
         np.testing.assert_array_equal(
             np.asarray(params2["backbone"]["stem"]["bn"]["scale"]), bn_before)
         assert not np.allclose(np.asarray(params2["fc"]["kernel"]), fc_before)
+
+
+class TestShardedUint8:
+    def test_uint8_matches_float(self, devices8, rng):
+        mesh = par.make_mesh(data=8, db=1, devices=devices8)
+        model = create_model("resnet18_rmac", out_dim=32)
+        params = model.init(jax.random.PRNGKey(0))
+        ex = par.ShardedExtractor(model, params, mesh)
+        u8 = rng.integers(0, 255, size=(3, 64, 64, 3), dtype=np.uint8)
+        # float path applies the same (x/255 - mean)/std on host
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        fl = (u8.astype(np.float32) / 255.0 - mean) / std
+        np.testing.assert_allclose(np.asarray(ex(u8)), np.asarray(ex(fl)),
+                                   rtol=1e-4, atol=1e-5)
