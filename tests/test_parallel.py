@@ -136,3 +136,23 @@ class TestShardedUint8:
         fl = (u8.astype(np.float32) / 255.0 - mean) / std
         np.testing.assert_allclose(np.asarray(ex(u8)), np.asarray(ex(fl)),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestShardedEvalModel:
+    def test_sharded_extractor_drops_into_eval(self, devices8, tmp_path, rng):
+        """ShardedExtractor shares FeatureExtractor's call signature, so the
+        whole benchmark evaluation can run SPMD unchanged."""
+        import dirjax.datasets as D
+        from dirjax.extraction import FeatureExtractor, eval_model
+
+        synth = D.Synthetic(str(tmp_path / "s"), revisited=True)
+        mesh = par.make_mesh(data=8, db=1, devices=devices8)
+        model = create_model("resnet18_rmac", out_dim=32)
+        params = model.init(jax.random.PRNGKey(0))
+        sharded = par.ShardedExtractor(model, params, mesh)
+        single = FeatureExtractor(model, params)
+        res_sh = eval_model(synth, sharded, "")
+        res_si = eval_model(synth, single, "")
+        for mode in ("easy", "medium", "hard"):
+            assert res_sh[f"mAP-{mode}"] == pytest.approx(
+                res_si[f"mAP-{mode}"], abs=1e-4)
