@@ -172,11 +172,15 @@ def _blockmax(q, db, k: int, tile_rows: int):
     bmax = bmax.reshape(nq, tiles, 128)[:, :, :blocks_per_tile]
     bmax = bmax.reshape(nq, tiles * blocks_per_tile)
     _, block_idx = jax.lax.top_k(bmax, kb)                      # (Nq, kb)
-    cols = (block_idx[:, :, None] * 128
-            + jnp.arange(128, dtype=jnp.int32)[None, None, :])
-    cols = cols.reshape(nq, kb * 128)
-    cand = jnp.take_along_axis(scores, cols, axis=1)
+    # gather whole 128-wide blocks through the 3D view: lowers to contiguous
+    # 512B block copies (take_along_axis over flattened columns measured
+    # ~55x slower here)
+    scores3 = scores.reshape(nq, nd_pad // 128, 128)
+    cand = jax.vmap(lambda s, i: jnp.take(s, i, axis=0))(scores3, block_idx)
+    cand = cand.reshape(nq, kb * 128)
     vals, sel = jax.lax.top_k(cand, k)
+    cols = (block_idx[:, :, None] * 128
+            + jnp.arange(128, dtype=jnp.int32)[None, None, :]).reshape(nq, -1)
     idxs = jnp.take_along_axis(cols, sel, axis=1)
     return vals, idxs
 
