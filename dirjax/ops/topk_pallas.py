@@ -70,9 +70,8 @@ def _fused(q, db, k: int, tile_rows: int, interpret: bool):
     nq, d = q.shape
     nd = db.shape[0]
     tiles = pl.cdiv(nd, tile_rows)
-    pad = tiles * tile_rows - nd
-    if pad:
-        db = jnp.pad(db, ((0, pad), (0, 0)))
+    # ragged last tile handled by Pallas + the in-kernel n_total mask
+    # (an explicit jnp.pad would copy the full database every call)
     # per-tile candidate block padded to the 128-lane tile (Mosaic tiling)
     k_pad = ((k + 127) // 128) * 128
 
@@ -121,32 +120,16 @@ def _blockmax_kernel(q_ref, db_ref, scores_ref, bmax_ref, *, n_total,
                             constant_values=-jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
-def _blockmax(q, db, k: int, tile_rows: int):
-    """Two-phase exact top-k.
-
-    Phase 1 (Pallas): stream DB tiles, write fp32 scores + per-128-column
-    block maxima. Phase 2 (XLA): top-k over block maxima — any element of
-    the true top-k has value >= the k-th best element, so its block max
-    does too, and every block whose max clears that bar contains a top-k
-    element; hence at most k blocks can, and the top-k blocks provably
-    contain the full answer — then gather those k*128 candidates and finish
-    with a tiny top-k. Replaces the O(k*Nq*Nd) in-kernel selection loop
-    with O(Nq*Nd/128) reduction work.
-    """
+@functools.partial(jax.jit, static_argnames=("n_valid", "tile_rows"))
+def _blockmax_phase1(q, db, n_valid: int, tile_rows: int):
+    """Pallas pass: stream DB tiles, emit fp32 scores + per-128-column block
+    maxima (padded to the 128-lane tile)."""
     nq, d = q.shape
-    nd = db.shape[0]
-    assert tile_rows % 128 == 0 and tile_rows <= 128 * 128
-    tiles = pl.cdiv(nd, tile_rows)
-    pad = tiles * tile_rows - nd
-    if pad:
-        db = jnp.pad(db, ((0, pad), (0, 0)))
+    tiles = pl.cdiv(db.shape[0], tile_rows)
     nd_pad = tiles * tile_rows
-    blocks_per_tile = tile_rows // 128
-
-    kernel = functools.partial(_blockmax_kernel, n_total=nd,
+    kernel = functools.partial(_blockmax_kernel, n_total=n_valid,
                                tile_rows=tile_rows)
-    scores, bmax = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(tiles,),
         in_specs=[
@@ -167,11 +150,18 @@ def _blockmax(q, db, k: int, tile_rows: int):
         interpret=jax.default_backend() != "tpu",
     )(q, db)
 
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
+def _blockmax_phase2(scores, bmax, k: int, tile_rows: int):
+    """Select top-k blocks from the maxima, gather their candidates, finish."""
+    nq, nd_pad = scores.shape
+    tiles = nd_pad // tile_rows
+    blocks_per_tile = tile_rows // 128
     kb = min(k, nd_pad // 128)
     # drop the per-tile lane padding before the (host-sized) top-k
-    bmax = bmax.reshape(nq, tiles, 128)[:, :, :blocks_per_tile]
-    bmax = bmax.reshape(nq, tiles * blocks_per_tile)
-    _, block_idx = jax.lax.top_k(bmax, kb)                      # (Nq, kb)
+    bm = bmax.reshape(nq, tiles, 128)[:, :, :blocks_per_tile]
+    bm = bm.reshape(nq, tiles * blocks_per_tile)
+    _, block_idx = jax.lax.top_k(bm, kb)                        # (Nq, kb)
     # gather whole 128-wide blocks through the 3D view: lowers to contiguous
     # 512B block copies (take_along_axis over flattened columns measured
     # ~55x slower here)
@@ -183,6 +173,32 @@ def _blockmax(q, db, k: int, tile_rows: int):
             + jnp.arange(128, dtype=jnp.int32)[None, None, :]).reshape(nq, -1)
     idxs = jnp.take_along_axis(cols, sel, axis=1)
     return vals, idxs
+
+
+def _blockmax(q, db, k: int, tile_rows: int):
+    """Two-phase exact top-k.
+
+    Phase 1 (Pallas): stream DB tiles, write fp32 scores + per-128-column
+    block maxima. Phase 2 (XLA): top-k over block maxima — any element of
+    the true top-k has value >= the k-th best element, so its block max
+    does too, and every block whose max clears that bar contains a top-k
+    element; hence at most k blocks can, and the top-k blocks provably
+    contain the full answer — then gather those k*128 candidates and finish
+    with a tiny top-k. Replaces the O(k*Nq*Nd) in-kernel selection loop
+    with O(Nq*Nd/128) reduction work.
+
+    The phases are SEPARATE jits on purpose: fused into one computation,
+    XLA schedules the gather pathologically (measured 2x slower end-to-end).
+    Calling this under an outer jit re-fuses them — prefer the eager path
+    for serving.
+    """
+    nd = db.shape[0]
+    assert tile_rows % 128 == 0 and tile_rows <= 128 * 128
+    # NB: no jnp.pad of the database — that would copy the full (multi-GB)
+    # matrix on every call. Pallas handles the ragged last tile; rows past
+    # n_valid are masked to -inf inside the kernel.
+    scores, bmax = _blockmax_phase1(q, db, nd, tile_rows)
+    return _blockmax_phase2(scores, bmax, k, tile_rows)
 
 
 def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None,
