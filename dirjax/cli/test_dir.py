@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="alpha-query-expansion: k alpha")
     parser.add_argument("--adba", type=int, nargs="+",
                         help="alpha-database-augmentation: k alpha")
+    parser.add_argument("--tta", type=str, default="", choices=("", "flip"),
+                        help="test-time augmentation: 'flip' adds a "
+                             "horizontally-mirrored pass per transform chain")
     return parser
 
 
@@ -62,7 +65,8 @@ def main(argv=None) -> dict:
         res = eval_model(
             dataset, extractor, args.trfs, pooling=args.pooling,
             gemp=args.gemp, detailed=args.detailed, whiten=whiten, aqe=aqe,
-            adba=adba, threads=args.threads, processes=args.processes,
+            adba=adba, tta=args.tta or None,
+            threads=args.threads, processes=args.processes,
             batch_size=args.batch_size,
             batching=args.batching, save_feats=args.save_feats,
             load_feats=args.load_feats, progress=True)

@@ -46,7 +46,23 @@ class SampleLoader:
     ``output`` names the fields returned per sample: 'img' (HWC float array
     after the chain's ToArray/Normalize), 'label', 'bbox', 'img_key',
     'img_filename', 'imsize', plus anything a transform added to the sample
-    dict (e.g. BBoxToPixelLabel's 'pix_label')."""
+    dict (e.g. BBoxToPixelLabel's 'pix_label').
+
+    Iterating a SampleLoader yields :class:`Batch` objects following the
+    batching settings stored by :func:`get_loader` (batch_size / shuffle /
+    balanced / threads ...), making it a drop-in for the reference's torch
+    DataLoader loop. Index explicitly (``loader[i]``) for single samples, or
+    call :func:`iterate_batches` with your own order/settings."""
+
+    # batch-iteration settings, overridden by get_loader(...)
+    batch_size: int = 8
+    threads: int = 8
+    processes: int = 0
+    shuffle: bool = False
+    balanced: float = 0.0
+    use_all: bool = False
+    batching: str = "group"
+    seed = None
 
     def __init__(self, dataset, transform=None, output=("img", "label")):
         self.dataset = dataset
@@ -55,6 +71,26 @@ class SampleLoader:
 
     def __len__(self):
         return len(self.dataset)
+
+    def default_order(self):
+        """Index order per the stored settings: a fresh BalancedSampler draw
+        when ``balanced`` > 0, else a (possibly shuffled) range."""
+        if self.balanced > 0:
+            sampler = BalancedSampler(
+                self.dataset, balanced=self.balanced, use_all=self.use_all,
+                rng=np.random.default_rng(self.seed))
+            return list(iter(sampler))
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(order)
+        return order
+
+    def __iter__(self) -> "Iterator[Batch]":
+        return iterate_batches(self, self.default_order(),
+                               batch_size=self.batch_size,
+                               threads=self.threads,
+                               processes=self.processes,
+                               batching=self.batching)
 
     def __getitem__(self, index):
         sample = {
@@ -191,12 +227,16 @@ def get_loader(dataset, trf_chain: str = "", iscuda=None, preprocess=None,
                output=("img",), batch_size: int = 8, threads: int = 8,
                shuffle: bool = False, balanced: float = 0,
                use_all: bool = False, totensor: bool = True,
-               device_normalize: bool = False,
-               **_unused) -> SampleLoader:
+               device_normalize: bool = False, batching: str = "group",
+               processes: int = 0, seed=None) -> SampleLoader:
     """Reference-signature convenience (pytorch_loader.py:11-73): build the
     transform chain from preprocess vars and return a :class:`SampleLoader`.
-    Batch iteration is explicit via :func:`iterate_batches` (pass the order
-    from a sampler or range(len(dataset))).
+
+    ``batch_size`` / ``threads`` / ``processes`` / ``shuffle`` / ``balanced``
+    / ``use_all`` / ``batching`` configure the loader's own batch iteration
+    (``for batch in loader``); :func:`iterate_batches` remains the explicit
+    API when the caller controls the order. ``iscuda`` is accepted for
+    signature parity and ignored — device placement is JAX's job.
 
     ``device_normalize=True`` emits uint8 HWC arrays and leaves /255 +
     mean/std to the device (the extractor): ~100x less host CPU per image
@@ -209,7 +249,16 @@ def get_loader(dataset, trf_chain: str = "", iscuda=None, preprocess=None,
         chain = T.Compose(chain.transforms + [T.ToArray(dtype="uint8")])
     else:
         chain = T.create(trf_chain, to_array=totensor, **preprocess)
-    return SampleLoader(dataset, transform=chain, output=output)
+    loader = SampleLoader(dataset, transform=chain, output=output)
+    loader.batch_size = batch_size
+    loader.threads = threads
+    loader.processes = processes
+    loader.shuffle = shuffle
+    loader.balanced = balanced
+    loader.use_all = use_all
+    loader.batching = batching
+    loader.seed = seed
+    return loader
 
 
 class BalancedSampler:

@@ -83,12 +83,16 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
                            batching: str = "group", batch_size: int = 8,
                            threads: int = 8, processes: int = 0,
                            bucket_multiple: int = 64,
-                           desc: str = "extract", progress: bool = False) -> np.ndarray:
+                           ret_imgs: bool = False,
+                           desc: str = "extract", progress: bool = False):
     """Extract a (N, D) descriptor matrix for every image of ``dataset``.
 
     ``transforms`` is a reference-style chain string (may be '').
     ``flip``: optional per-image 0/1 list — 1 flips the image horizontally
     before the forward (the reference's pop-list TTA, test_dir.py:71-72).
+    ``ret_imgs``: also return the transformed device-input images, ordered
+    by dataset index (the reference's debug path, test_dir.py:63,76-77);
+    the return becomes ``(images, descriptors)``.
     """
     preprocess = extractor.model.preprocess
     loader = get_loader(dataset, trf_chain=transforms, preprocess=preprocess,
@@ -97,6 +101,7 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
 
     n = len(dataset)
     out: Optional[np.ndarray] = None
+    imgs_out: list = [None] * n if ret_imgs else []
     done = 0
     batches = iterate_batches(loader, order, batch_size=batch_size,
                               threads=threads, processes=processes,
@@ -122,15 +127,28 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
         if out is None:
             out = np.zeros((n, descs.shape[1]), np.float32)
         out[batch.indices] = descs
+        if ret_imgs:
+            for r, idx in enumerate(batch.indices):
+                if batch.mask is None:
+                    imgs_out[idx] = np.asarray(images[r])
+                else:  # un-pad back to the image's real extent
+                    h = int(batch.mask[r, :, 0].sum())
+                    w = int(batch.mask[r, 0, :].sum())
+                    imgs_out[idx] = np.asarray(images[r, :h, :w])
         done += len(batch.indices)
     assert done == n, f"extracted {done}/{n} images"
+    if out is None:  # empty dataset: keep the (0, D) contract
+        out = np.zeros((0, extractor.model.config.out_dim), np.float32)
+    if ret_imgs:
+        return imgs_out, out
     return out
 
 
 def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
                gemp=3, detailed=False, whiten=None, aqe=None, adba=None,
-               threads=8, processes=0, batch_size=8, batching="group",
-               save_feats=None, load_feats=None, progress=False) -> dict:
+               tta=None, threads=8, processes=0, batch_size=8,
+               batching="group", save_feats=None, load_feats=None,
+               progress=False) -> dict:
     """Full benchmark evaluation (reference ``eval_model``, test_dir.py:97-180):
     extract DB+query descriptors over one or more transform chains, pool,
     whiten, expand, rank, and compute mAP / top-k under the dataset's
@@ -139,7 +157,13 @@ def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
     ``whiten``: None or a dict {'pca': PCAParams, 'whitenp':, 'whitenv':,
     'whitenm':} (the reference reads args.whiten + net.pca).
     ``aqe`` / ``adba``: None or {'k':, 'alpha':}.
+    ``tta``: None or 'flip' — horizontal-flip test-time augmentation: every
+    transform chain is additionally extracted with all images mirrored and
+    the extra descriptors enter the multi-chain pooling (the reference's
+    flip pop-list TTA, test_dir.py:71-72; BASELINE configs[2]).
     """
+    if tta not in (None, "", "flip"):
+        raise ValueError(f"unknown tta mode: {tta!r}")
     query_db = db.get_query_db()
 
     if load_feats:
@@ -161,6 +185,13 @@ def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
                 db, chain, extractor, batching=mode, desc="DB", **kw))
             ql.append(bl[-1] if db is query_db else extract_image_features(
                 query_db, chain, extractor, batching=mode, desc="query", **kw))
+            if tta == "flip":
+                bl.append(extract_image_features(
+                    db, chain, extractor, batching=mode, desc="DB/flip",
+                    flip=[1] * len(db), **kw))
+                ql.append(bl[-1] if db is query_db else extract_image_features(
+                    query_db, chain, extractor, batching=mode,
+                    desc="query/flip", flip=[1] * len(query_db), **kw))
         bdescs = np.asarray(ops.pool_descriptors(
             [jnp.asarray(d) for d in bl], pooling, gemp))
         qdescs = np.asarray(ops.pool_descriptors(
@@ -189,7 +220,9 @@ def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
     res: dict = {}
     try:
         aps = [db.eval_query_AP(q, scores[q]) for q in range(len(scores))]
-        if not isinstance(aps[0], dict):
+        if not aps:
+            pass  # no queries -> no mAP entries (don't crash on aps[0])
+        elif not isinstance(aps[0], dict):
             aps = [float(a) for a in aps]
             if detailed:
                 res["APs"] = aps
@@ -205,10 +238,11 @@ def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
 
     try:
         tops = [db.eval_query_top(q, scores[q]) for q in range(len(scores))]
-        if detailed:
-            res["tops"] = tops
-        for k in tops[0]:
-            res[f"top{k}"] = float(np.mean([t[k] for t in tops]))
+        if tops:
+            if detailed:
+                res["tops"] = tops
+            for k in tops[0]:
+                res[f"top{k}"] = float(np.mean([t[k] for t in tops]))
     except NotImplementedError:
         pass
 

@@ -101,6 +101,30 @@ def _pool(cfg: DescriptorConfig, params, x, mask, p_name="pool_p"):
     return global_pool(x, cfg.pooling, p=p, mask=mask)
 
 
+def _downsample_mask(mask: jnp.ndarray, stride: int, fh: int, fw: int):
+    """Min-pool an input-resolution (B, H, W) validity mask by ``stride`` and
+    align it to the backbone's (B, fh, fw) feature shape.
+
+    Min-pool semantics: a feature cell counts as valid only when its FULL
+    stride window is valid — cells whose window mixes canvas padding would
+    pool polluted activations, so they are dropped. The backbone emits
+    ceil(H/stride) cells while the stride-window reduction yields
+    floor(H/stride); the ragged edge (a partial window, invalid by the same
+    rule) is padded with False, and any excess is sliced.
+    """
+    m = mask[..., None].astype(jnp.float32)
+    pooled = -jax.lax.reduce_window(
+        -m, -jnp.inf, jax.lax.max, (1, stride, stride, 1),
+        (1, stride, stride, 1), [(0, 0), (0, 0), (0, 0), (0, 0)])
+    valid = pooled[..., 0] > 0.5
+    valid = valid[:, :fh, :fw]
+    pad_h, pad_w = fh - valid.shape[1], fw - valid.shape[2]
+    if pad_h > 0 or pad_w > 0:
+        valid = jnp.pad(valid, ((0, 0), (0, max(pad_h, 0)), (0, max(pad_w, 0))),
+                        constant_values=False)
+    return valid
+
+
 def apply_descriptor(params, images, cfg: DescriptorConfig, *,
                      mask: Optional[jnp.ndarray] = None,
                      train: bool = False, rng=None,
@@ -110,25 +134,20 @@ def apply_descriptor(params, images, cfg: DescriptorConfig, *,
 
     ``images``: NHWC float input, already preprocessed (mean/std-normalized).
     ``mask``: optional (B, H, W) bool validity map at *input* resolution for
-    padded bucket batches; it is max-pooled down to feature resolution so a
-    feature cell counts as valid if any of its receptive stride window is.
+    padded bucket batches; it is min-pooled down to feature resolution so a
+    feature cell counts as valid only when its full stride window is valid
+    (see :func:`_downsample_mask`).
     """
     feat_mask = None
     c4_mask = None
-    if mask is not None:
-        m = mask[..., None].astype(jnp.float32)
-        m32 = -jax.lax.reduce_window(
-            -m, -jnp.inf, jax.lax.max, (1, 32, 32, 1), (1, 32, 32, 1),
-            [(0, 0), (0, 0), (0, 0), (0, 0)])  # min-pool: fully-valid cells
-        feat_mask = m32[..., 0] > 0.5
 
     if cfg.fpn_mode is None:
         x = apply_resnet(params["backbone"], images, cfg.backbone,
                          dtype=dtype, precision=precision, grad_safe=train)
         if cfg.dropout_p is not None and train:
             x = _dropout(x, cfg.dropout_p, rng)
-        if feat_mask is not None and feat_mask.shape[1:] != x.shape[1:3]:
-            feat_mask = feat_mask[:, :x.shape[1], :x.shape[2]]
+        if mask is not None:
+            feat_mask = _downsample_mask(mask, 32, x.shape[1], x.shape[2])
         if (fused_head and not train and cfg.pooling.startswith("gem")
                 and cfg.center_bias == 0 and not cfg.norm_features
                 and not cfg.without_fc):
@@ -162,14 +181,9 @@ def apply_descriptor(params, images, cfg: DescriptorConfig, *,
             r4, r5 = jax.random.split(rng)
             c4 = _dropout(c4, cfg.dropout_p, r4)
             c5 = _dropout(c5, cfg.dropout_p, r5)
-        if feat_mask is not None:
-            c4_mask = feat_mask  # C4 is stride 16: recompute from input mask
-            m = mask[..., None].astype(jnp.float32)
-            m16 = -jax.lax.reduce_window(
-                -m, -jnp.inf, jax.lax.max, (1, 16, 16, 1), (1, 16, 16, 1),
-                [(0, 0), (0, 0), (0, 0), (0, 0)])
-            c4_mask = (m16[..., 0] > 0.5)[:, :c4.shape[1], :c4.shape[2]]
-            feat_mask = feat_mask[:, :c5.shape[1], :c5.shape[2]]
+        if mask is not None:
+            c4_mask = _downsample_mask(mask, 16, c4.shape[1], c4.shape[2])
+            feat_mask = _downsample_mask(mask, 32, c5.shape[1], c5.shape[2])
         d5 = _pool(cfg, params, c5, feat_mask, "pool_p_x5")
         d4 = _pool(cfg, params, c4, c4_mask, "pool_p_c4")
         desc = jnp.concatenate([d4, d5], axis=1)

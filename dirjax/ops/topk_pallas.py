@@ -29,8 +29,9 @@ def _kernel(q_ref, db_ref, vals_ref, idxs_ref, scores_ref, *, k, n_total,
             tile_rows):
     t = pl.program_id(0)
     # k is padded to the 128-lane tile; fill the pad with -inf candidates
+    # whose index is -1 so impossible selections are detectable by callers
     vals_ref[...] = jnp.full_like(vals_ref, -jnp.inf)
-    idxs_ref[...] = jnp.zeros_like(idxs_ref)
+    idxs_ref[...] = jnp.full_like(idxs_ref, -1)
     scores = jax.lax.dot_general(
         q_ref[...], db_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -53,11 +54,12 @@ def _kernel(q_ref, db_ref, vals_ref, idxs_ref, scores_ref, *, k, n_total,
         # some Mosaic versions; max/min reductions are solid)
         winner = s >= best[:, None]
         arg = jnp.min(jnp.where(winner, col, big), axis=1).astype(jnp.int32)
-        # lane-i select (dynamic single-lane stores aren't Mosaic-legal)
+        # lane-i select (dynamic single-lane stores aren't Mosaic-legal);
+        # a fully-masked tile (best == -inf) keeps the -1 sentinel index
         write = lane == i
         vals_ref[...] = jnp.where(write, best[:, None], vals_ref[...])
-        idxs_ref[...] = jnp.where(write, (arg + t * tile_rows)[:, None],
-                                  idxs_ref[...])
+        idx_val = jnp.where(best > neg, arg + t * tile_rows, -1)
+        idxs_ref[...] = jnp.where(write, idx_val[:, None], idxs_ref[...])
         # knock out the winner
         scores_ref[...] = jnp.where(col == arg[:, None], neg, s)
         return 0
@@ -213,6 +215,8 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
     """
     q = jnp.asarray(qdescs)
     db = jnp.asarray(db_descs)
+    if k > db.shape[0]:
+        raise ValueError(f"k={k} exceeds the {db.shape[0]} database rows")
     if tile_rows is None:
         bytes_per_row = db.shape[1] * db.dtype.itemsize
         tile_rows = max(256, (4 * 2 ** 20 // bytes_per_row) // 256 * 256)

@@ -33,6 +33,9 @@ class PCAParams(NamedTuple):
     mean: jnp.ndarray          # (D,)
     components: jnp.ndarray    # (K, D) rows = principal axes
     variance: jnp.ndarray      # (K,) explained variance (n-1 divisor)
+    #: sklearn's ``whiten`` fit flag: the reference divides by variance^p
+    #: only when it is set (common.py:228-229)
+    whiten: bool = True
 
     @staticmethod
     def from_sklearn(pca) -> "PCAParams":
@@ -40,6 +43,7 @@ class PCAParams(NamedTuple):
             mean=np.asarray(pca.mean_),
             components=np.asarray(pca.components_),
             variance=np.asarray(pca.explained_variance_),
+            whiten=bool(getattr(pca, "whiten", True)),
         )
 
 
@@ -75,7 +79,8 @@ def apply_whitening(X, pca: PCAParams, whitenp: float = 0.5,
     Xt = jnp.matmul(X - pca.mean, comps.T,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
-    Xt = Xt / (whitenm * jnp.power(var, whitenp))
+    if bool(pca.whiten):  # reference gates the scaling on the sklearn flag
+        Xt = Xt / (whitenm * jnp.power(var, whitenp))
     return l2_normalize(Xt) if l2norm else Xt
 
 
@@ -85,7 +90,10 @@ def whitening_matrix(pca: PCAParams, whitenp: float = 0.5,
     ready to fuse behind the descriptor head's FC projection."""
     comps = np.asarray(pca.components[:whitenv], dtype=np.float64)
     var = np.asarray(pca.variance[:whitenv], dtype=np.float64)
-    scale = 1.0 / (whitenm * np.power(var, whitenp))
+    if bool(pca.whiten):
+        scale = 1.0 / (whitenm * np.power(var, whitenp))
+    else:
+        scale = np.ones_like(var)
     W = comps.T * scale[None, :]
     b = -np.asarray(pca.mean, dtype=np.float64) @ W
     return W.astype(np.float32), b.astype(np.float32)

@@ -261,12 +261,16 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
 
     start_epoch = 0
     opt_path = None
+    best = float("inf")
     if resume:
         ckpt = load_native(resume)
         assert ckpt.model.arch == cfg.arch, \
             f"resume arch {ckpt.model.arch} != config arch {cfg.arch}"
         params = ckpt.params
         start_epoch = int(ckpt.extra.get("epoch", -1)) + 1
+        # restore the best monitor so a post-resume epoch can't silently
+        # overwrite checkpoint.npz.best with a worse model
+        best = float(ckpt.extra.get("best", float("inf")))
         opt_path = resume + ".opt"
 
     tx = make_optimizer(cfg, params)
@@ -280,7 +284,6 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
     sampler = BalancedSampler(dataset, rng=np.random.default_rng(cfg.seed))
 
     history = []
-    best = float("inf")
     for epoch in range(start_epoch, cfg.epochs):
         order = list(iter(sampler))
         if steps_per_epoch:
@@ -307,14 +310,17 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
                                                    val_dataset, dtype=dtype)
             monitor = record["val_loss"]
         history.append(record)
+        is_best = monitor < best
+        best = min(best, monitor)
         if out_dir:
             path = os.path.join(out_dir, "checkpoint.npz")
+            extra = {"epoch": epoch}
+            if np.isfinite(best):
+                extra["best"] = float(best)
             ckpt = Checkpoint(model=model, params=params,
-                              preprocess=model.preprocess,
-                              extra={"epoch": epoch})
-            save_checkpoint(ckpt, monitor < best, path)
+                              preprocess=model.preprocess, extra=extra)
+            save_checkpoint(ckpt, is_best, path)
             _save_opt_state(path + ".opt", opt_state)
-        best = min(best, monitor)
     return model, params, history
 
 

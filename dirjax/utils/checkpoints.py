@@ -198,7 +198,8 @@ def _pca_from_object(pca) -> PCAParams:
     if isinstance(pca, dict):
         return PCAParams(mean=np.asarray(pca["mean"]),
                          components=np.asarray(pca["components"]),
-                         variance=np.asarray(pca["variance"]))
+                         variance=np.asarray(pca["variance"]),
+                         whiten=bool(pca.get("whiten", True)))
     return PCAParams.from_sklearn(pca)
 
 
@@ -264,6 +265,7 @@ def save_native(path: str, ckpt: Checkpoint) -> None:
         arrays[f"pca/{name}/mean"] = np.asarray(pca.mean)
         arrays[f"pca/{name}/components"] = np.asarray(pca.components)
         arrays[f"pca/{name}/variance"] = np.asarray(pca.variance)
+        arrays[f"pca/{name}/whiten"] = np.asarray(bool(pca.whiten))
     meta = {
         "arch": ckpt.model.arch,
         "model_options": _config_options(ckpt.model),
@@ -298,7 +300,8 @@ def load_native(path: str) -> Checkpoint:
                 if k.startswith("pca/")}
     pca_tree = _unflatten(pca_flat)
     pca = {name: PCAParams(mean=v["mean"], components=v["components"],
-                           variance=v["variance"])
+                           variance=v["variance"],
+                           whiten=bool(v.get("whiten", True)))
            for name, v in pca_tree.items()}
     model = create_model(meta["arch"], **{k: v for k, v in
                                           meta["model_options"].items()})
@@ -338,7 +341,8 @@ def save_torch_checkpoint(path: str, ckpt: Checkpoint) -> None:
         "preprocess": ckpt.preprocess,
         "pca": {name: {"mean": np.asarray(p.mean),
                        "components": np.asarray(p.components),
-                       "variance": np.asarray(p.variance)}
+                       "variance": np.asarray(p.variance),
+                       "whiten": bool(p.whiten)}
                 for name, p in ckpt.pca.items()},
         **{k: v for k, v in ckpt.extra.items()
            if isinstance(v, (int, float, str))},
