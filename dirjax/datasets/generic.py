@@ -1,23 +1,29 @@
-"""Generic dataset types.
+"""Generic dataset types, dirjax-style.
 
-Parity with the reference ``dirtorch/datasets/generic.py``:
+The reference spreads ten classes over ``dirtorch/datasets/generic.py``;
+dirjax carries the same externally-fixed protocols with three building
+blocks:
 
-* :class:`ImageList` — plain list of image paths (generic.py:13-30)
-* :class:`ImageListLabels` / :class:`ImageListLabelsQ` /
-  :class:`ImagesAndLabels` — class-labeled lists (generic.py:44-121)
-* :class:`ImageListRelevants` — Oxford/Paris-style pickle ground truth with
-  per-query relevant/junk lists and the Revisited easy/medium/hard protocol
-  (generic.py:124-224)
-* :class:`ImageListROIs` — query images cropped to their bounding box
-  (generic.py:227-250)
-* :class:`ImageClusters` / :class:`NullCluster` — JSON img->cluster maps
-  (generic.py:257-299)
+* :class:`ImageList` — a bare sequence of image paths,
+* :class:`LabeledImages` — ONE class for every labeled-list flavor
+  (txt rows, json maps, cluster maps, explicit arrays, optional separate
+  query list). The reference's ``ImageListLabels`` / ``ImageListLabelsQ`` /
+  ``ImagesAndLabels`` / ``ImageClusters`` / ``NullCluster`` survive as thin
+  parsing subclasses so CLI specs and imports keep working,
+* :class:`ImageListRelevants` — the Oxford/Paris pickle ground truth
+  (Radenovic ``gnd_*.pkl`` schema) with the Revisited easy/medium/hard
+  protocol expressed as one mode table instead of per-method if-chains.
+
+Protocol contracts that are fixed by the outside world (and therefore look
+like the reference by necessity): the pickle schema ``{imlist, qimlist,
+gnd:[{bbx, junk, ok | easy+hard}]}``, the {-1, 0, +1} ground-truth vector
+with 0 = junk, and the mode -> relevant/junk mapping of the Revisited
+benchmark (reference generic.py:150-224).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import os.path as osp
 import pickle
 from typing import Optional
@@ -29,6 +35,7 @@ from .base import Dataset, find_and_list_classes, find_relevants
 
 __all__ = [
     "ImageList",
+    "LabeledImages",
     "LabelledDataset",
     "ImageListLabels",
     "ImageListLabelsQ",
@@ -46,11 +53,10 @@ class ImageList(Dataset):
 
     def __init__(self, img_list_path: str = "", root: str = "", imgs=None):
         self.root = root
-        if imgs is not None:
-            self.imgs = list(imgs)
-        else:
+        if imgs is None:
             with open(img_list_path) as f:
-                self.imgs = [line.strip() for line in f if line.strip()]
+                imgs = [line.strip() for line in f]
+        self.imgs = [p for p in imgs if p]
         self.nimg = len(self.imgs)
         self.nclass = 0
         self.nquery = 0
@@ -59,37 +65,61 @@ class ImageList(Dataset):
         return self.imgs[i]
 
 
-class LabelledDataset(Dataset):
-    """A dataset with per-image class labels."""
+# --------------------------------------------------------------------------
+# labeled lists
+# --------------------------------------------------------------------------
 
-    def find_classes(self, labels=None, **cls_idx):
-        labels = labels if labels is not None else self.labels
-        self.classes, self.cls_idx = find_and_list_classes(labels, cls_idx=cls_idx)
+def _read_annotations(path: str):
+    """(imgs, labels) from a '.txt' of "path label" rows or a '.json'
+    {path: label} map."""
+    ext = osp.splitext(path)[1]
+    if ext == ".txt":
+        with open(path) as f:
+            rows = [line.split() for line in f if line.strip()]
+        return [r[0] for r in rows], [r[1] for r in rows]
+    if ext == ".json":
+        with open(path) as f:
+            data = json.load(f)
+        return list(data.keys()), list(data.values())
+    raise ValueError(f"unsupported annotation format: {path}")
+
+
+class LabeledImages(Dataset):
+    """Images with per-image class labels, optionally with a separate
+    labeled query list.
+
+    ``cls_idx``: pass a parent's label->index map to share a class space
+    (the reference's ImagesAndLabels pattern); otherwise classes are
+    derived from the labels (and query labels, if any).
+    """
+
+    def __init__(self, imgs, labels, root: Optional[str] = None,
+                 cls_idx: Optional[dict] = None, qimgs=None, qlabels=None):
+        self.root = root
+        self.imgs = list(imgs)
+        self.labels = list(labels)
+        self.qimgs = list(qimgs) if qimgs is not None else None
+        self.qlabels = list(qlabels) if qlabels is not None else None
+        if cls_idx is not None:
+            self.cls_idx = dict(cls_idx)
+            index_to_class = {i: c for c, i in self.cls_idx.items()}
+            self.classes = [index_to_class[i] for i in sorted(index_to_class)]
+        else:
+            self.find_classes()
+        self.nclass = len(self.cls_idx)
+        self.c_relevant_idx = find_relevants(self.labels)
+        self.nimg = len(self.imgs)
+        self.nquery = len(self.qimgs) if self.qimgs is not None else 0
+
+    def find_classes(self, labels=None, **forced):
+        """Derive classes/cls_idx from labels (+ query labels), honoring any
+        forced name->index assignments."""
+        if labels is None:
+            labels = self.labels + (self.qlabels or [])
+        self.classes, self.cls_idx = find_and_list_classes(labels,
+                                                           cls_idx=forced)
         self.nclass = len(self.classes)
         self.c_relevant_idx = find_relevants(self.labels)
-
-
-class ImageListLabels(LabelledDataset):
-    """Images + labels from a .txt ('path label' rows) or .json ({path: label})."""
-
-    def __init__(self, img_list_path: str, root: Optional[str] = None):
-        self.root = root
-        ext = osp.splitext(img_list_path)[1]
-        if ext == ".txt":
-            with open(img_list_path) as f:
-                rows = [line.strip().split(" ") for line in f if line.strip()]
-            self.imgs = [r[0] for r in rows]
-            self.labels = [r[1] for r in rows]
-        elif ext == ".json":
-            with open(img_list_path) as f:
-                data = json.load(f)
-            self.imgs = list(data.keys())
-            self.labels = list(data.values())
-        else:
-            raise ValueError(f"unsupported annotation file: {img_list_path}")
-        self.find_classes()
-        self.nimg = len(self.imgs)
-        self.nquery = 0
 
     def get_key(self, i: int) -> str:
         return self.imgs[i]
@@ -99,57 +129,97 @@ class ImageListLabels(LabelledDataset):
         return self.cls_idx[label] if toint else label
 
     def get_query_db(self):
-        return self
+        if self.qimgs is None:
+            return self  # every image queries the rest (self is junk)
+        return LabeledImages(self.qimgs, self.qlabels, root=self.root,
+                             cls_idx=self.cls_idx)
 
 
-class ImageListLabelsQ(ImageListLabels):
-    """Labeled database + a separate labeled query list."""
+#: reference-compatible alias (dirtorch generic.py:33-41)
+LabelledDataset = LabeledImages
+
+
+class ImageListLabels(LabeledImages):
+    """Labels from a '.txt' ("path label" rows) or '.json' ({path: label})
+    annotation file (reference generic.py:44-77)."""
+
+    def __init__(self, img_list_path: str, root: Optional[str] = None):
+        imgs, labels = _read_annotations(img_list_path)
+        super().__init__(imgs, labels, root=root)
+
+
+class ImageListLabelsQ(LabeledImages):
+    """Labeled database + a separate labeled query list
+    (reference generic.py:80-105)."""
 
     def __init__(self, img_list_path: str, query_list_path: str,
                  root: Optional[str] = None):
-        self.root = root
-        with open(img_list_path) as f:
-            rows = [line.strip().split(" ") for line in f if line.strip()]
-        self.imgs = [r[0] for r in rows]
-        self.labels = [r[1] for r in rows]
-        with open(query_list_path) as f:
-            rows = [line.strip().split(" ") for line in f if line.strip()]
-        self.qimgs = [r[0] for r in rows]
-        self.qlabels = [r[1] for r in rows]
-        self.find_classes()
-        self.nimg = len(self.imgs)
-        self.nquery = len(self.qimgs)
-
-    def find_classes(self, labels=None, **cls_idx):
-        labels = labels if labels is not None else self.labels + self.qlabels
-        self.classes, self.cls_idx = find_and_list_classes(labels, cls_idx=cls_idx)
-        self.nclass = len(self.classes)
-        self.c_relevant_idx = find_relevants(self.labels)
-
-    def get_query_db(self):
-        return ImagesAndLabels(self.qimgs, self.qlabels, self.cls_idx, root=self.root)
+        imgs, labels = _read_annotations(img_list_path)
+        qimgs, qlabels = _read_annotations(query_list_path)
+        super().__init__(imgs, labels, root=root, qimgs=qimgs,
+                         qlabels=qlabels)
 
 
-class ImagesAndLabels(ImageListLabels):
-    """Explicit (imgs, labels) arrays sharing a parent's class map."""
+class ImagesAndLabels(LabeledImages):
+    """Explicit (imgs, labels) arrays sharing a parent's class map
+    (reference generic.py:108-121)."""
 
     def __init__(self, imgs, labels, cls_idx, root: Optional[str] = None):
-        self.root = root
-        self.imgs = list(imgs)
-        self.labels = list(labels)
-        self.cls_idx = cls_idx
-        self.nclass = len(cls_idx)
-        self.nimg = len(self.imgs)
-        self.nquery = 0
+        super().__init__(imgs, labels, root=root, cls_idx=cls_idx)
+
+
+class ImageClusters(LabeledImages):
+    """Images labeled by a {img_path: cluster} json map (or an equivalent
+    dict); ``keep`` selects which cluster values survive (default: non-null
+    str/int clusters) — reference generic.py:257-293."""
+
+    def __init__(self, json_path, root: Optional[str] = None, keep=None):
+        if isinstance(json_path, dict):
+            data = json_path
+        else:
+            with open(json_path) as f:
+                data = json.load(f)
+        if not isinstance(data, dict):
+            raise ValueError(f"expected a {{img: cluster}} map in {json_path}")
+        keep = keep if keep is not None else (lambda c: c is not None)
+        pairs = [(img, cluster) for img, cluster in data.items()
+                 if isinstance(cluster, (str, int, type(None)))
+                 and keep(cluster)]
+        super().__init__([p[0] for p in pairs], [p[1] for p in pairs],
+                         root=root)
+
+
+class NullCluster(ImageClusters):
+    """Only the images whose cluster label is null (reference :296-299)."""
+
+    def __init__(self, json_path, root: Optional[str] = None):
+        super().__init__(json_path, root, keep=lambda c: c is None)
+
+
+# --------------------------------------------------------------------------
+# Oxford/Paris pickle ground truth
+# --------------------------------------------------------------------------
+
+# Revisited-protocol mode algebra: mode -> (positive lists, lists demoted to
+# junk besides the pickle's own junk). "classic" is the single-'ok'-list
+# flavor of the original Oxford/Paris ground truth.
+_GT_MODES = {
+    "classic": (("ok",), ()),
+    "easy": (("easy",), ("hard",)),
+    "medium": (("easy", "hard"), ()),
+    "hard": (("hard",), ("easy",)),
+}
 
 
 class ImageListRelevants(Dataset):
-    """Oxford-style ground truth from a pickle file.
+    """Oxford-style ground truth from a Radenovic ``gnd_*.pkl`` pickle.
 
-    The pickle holds ``imlist``, ``qimlist`` and per-query ``gnd`` entries
-    with a query bounding box ``bbx`` plus either a single ``ok`` list
-    (classic protocol) or ``easy``/``hard`` lists (Revisited protocol), and
-    always a ``junk`` list. Scores for junk images are removed before AP.
+    The pickle holds ``imlist``/``qimlist`` plus one ``gnd`` entry per query
+    with the query box ``bbx``, a ``junk`` list, and either an ``ok`` list
+    (classic protocol) or ``easy``+``hard`` lists (Revisited protocol).
+    Junk images' scores are removed before AP (never counted for or
+    against). Exposes ``relevants`` (classic) or ``easy``/``hard``
+    (Revisited) index lists, ``junk``, and per-query ROIs.
     """
 
     def __init__(self, gt_file: str, root: Optional[str] = None,
@@ -160,47 +230,63 @@ class ImageListRelevants(Dataset):
         with open(gt_file, "rb") as f:
             gt = pickle.load(f)
 
-        def with_ext(name):
-            stem, e = osp.splitext(name)
-            return stem + (e if e else ext)
+        def named(entries):
+            # pickle image names may or may not carry an extension
+            return [n if osp.splitext(n)[1] else n + ext for n in entries]
 
-        self.imgs = [with_ext(e) for e in gt["imlist"]]
-        self.qimgs = [with_ext(e) for e in gt["qimlist"]]
-        self.qroi = [tuple(e["bbx"]) for e in gt["gnd"]]
-        if "ok" in gt["gnd"][0]:
-            self.relevants = [e["ok"] for e in gt["gnd"]]
-            self.easy = self.hard = None
-        else:
-            self.relevants = None
-            self.easy = [e["easy"] for e in gt["gnd"]]
-            self.hard = [e["hard"] for e in gt["gnd"]]
-        self.junk = [e["junk"] for e in gt["gnd"]]
+        self.imgs = named(gt["imlist"])
+        self.qimgs = named(gt["qimlist"])
+        per_query = gt["gnd"]
+        self.qroi = [tuple(g["bbx"]) for g in per_query]
+        self.junk = [list(g["junk"]) for g in per_query]
+        revisited = "easy" in per_query[0]
+        self.relevants = (None if revisited
+                          else [list(g["ok"]) for g in per_query])
+        self.easy = ([list(g["easy"]) for g in per_query]
+                     if revisited else None)
+        self.hard = ([list(g["hard"]) for g in per_query]
+                     if revisited else None)
 
         self.nimg = len(self.imgs)
         self.nquery = len(self.qimgs)
 
-    # --- GT accessors (reference generic.py:150-170) ------------------
+    # --- GT protocol ---------------------------------------------------
+    def _gt_lists(self, q: int) -> dict:
+        if self.relevants is not None:
+            return {"ok": self.relevants[q], "junk": self.junk[q]}
+        return {"easy": self.easy[q], "hard": self.hard[q],
+                "junk": self.junk[q]}
+
     def get_relevants(self, q: int, mode: str = "classic"):
-        if mode == "classic":
-            return self.relevants[q]
-        if mode == "easy":
-            return self.easy[q]
-        if mode == "medium":
-            return self.easy[q] + self.hard[q]
-        if mode == "hard":
-            return self.hard[q]
-        raise ValueError(mode)
+        pos_keys, _ = _GT_MODES[mode]
+        lists = self._gt_lists(q)
+        return [i for key in pos_keys for i in lists[key]]
 
     def get_junk(self, q: int, mode: str = "classic"):
-        if mode in ("classic", "medium"):
-            return self.junk[q]
-        if mode == "easy":
-            return self.junk[q] + self.hard[q]
-        if mode == "hard":
-            return self.junk[q] + self.easy[q]
-        raise ValueError(mode)
+        _, demoted = _GT_MODES[mode]
+        lists = self._gt_lists(q)
+        return lists["junk"] + [i for key in demoted for i in lists[key]]
 
-    # --- keys / queries ----------------------------------------------
+    def get_query_groundtruth(self, query_idx: int, what: str = "AP",
+                              mode: str = "classic"):
+        """{-1, 0, +1} vector over the database: +1 relevant, 0 junk."""
+        gt = np.full(self.nimg, -1, dtype=np.int8)
+        gt[self.get_relevants(query_idx, mode)] = 1
+        gt[self.get_junk(query_idx, mode)] = 0
+        return gt
+
+    def eval_query_AP(self, query_idx: int, scores: np.ndarray):
+        """Revisited trapezoidal AP. Classic GT yields a scalar (a query
+        with no positives scores 0); Revisited GT yields an
+        easy/medium/hard dict."""
+        if self.relevants is not None:
+            gt = self.get_query_groundtruth(query_idx, "AP", "classic")
+            return max(ev.ap_from_gt_scores(gt, scores), 0.0)
+        return {mode: ev.ap_from_gt_scores(
+                    self.get_query_groundtruth(query_idx, "AP", mode), scores)
+                for mode in ("easy", "medium", "hard")}
+
+    # --- keys / queries ------------------------------------------------
     def get_key(self, i: int) -> str:
         return self.imgs[i]
 
@@ -208,7 +294,8 @@ class ImageListRelevants(Dataset):
         return self.qimgs[i]
 
     def get_query_filename(self, q: int, root: Optional[str] = None) -> str:
-        return os.path.join(root or self.root, self.img_dir, self.get_query_key(q))
+        return osp.join(root or self.root, self.img_dir,
+                        self.get_query_key(q))
 
     def get_query_roi(self, q: int):
         return self.qroi[q]
@@ -216,32 +303,10 @@ class ImageListRelevants(Dataset):
     def get_query_db(self):
         return ImageListROIs(self.root, self.img_dir, self.qimgs, self.qroi)
 
-    # --- evaluation ---------------------------------------------------
-    def get_query_groundtruth(self, query_idx: int, what: str = "AP",
-                              mode: str = "classic"):
-        gt = -np.ones(self.nimg, dtype=np.int8)
-        gt[self.get_relevants(query_idx, mode)] = 1
-        gt[self.get_junk(query_idx, mode)] = 0
-        return gt
-
-    def eval_query_AP(self, query_idx: int, scores: np.ndarray):
-        """Revisited trapezoidal AP; dict over easy/medium/hard when the GT
-        is in Revisited format, scalar for classic GT."""
-        if self.relevants is not None:
-            gt = self.get_query_groundtruth(query_idx, "AP")
-            ap = ev.ap_from_gt_scores(gt, scores)
-            # classic protocol scores a query with no positives as AP 0
-            return max(ap, 0.0)
-        res = {}
-        for mode in ("easy", "medium", "hard"):
-            gt = self.get_query_groundtruth(query_idx, "AP", mode)
-            res[mode] = ev.ap_from_gt_scores(gt, scores)
-        return res
-
 
 class ImageListROIs(Dataset):
-    """Images cropped to a per-image region of interest at load time —
-    used for the query side of Oxford/Paris benchmarks."""
+    """Images cropped to a per-image region of interest at load time — the
+    query side of Oxford/Paris benchmarks (reference generic.py:227-250)."""
 
     def __init__(self, root, img_dir, imgs, rois):
         self.root = root
@@ -264,54 +329,8 @@ class ImageListROIs(Dataset):
         img = Image.open(self.get_filename(img_idx)).convert("RGB")
         img = img.crop(self.rois[img_idx])
         if resize:
-            method = (
-                Image.LANCZOS
-                if np.prod(resize) < np.prod(img.size)
-                else Image.BICUBIC
-            )
+            method = (Image.LANCZOS
+                      if np.prod(resize) < np.prod(img.size)
+                      else Image.BICUBIC)
             img = img.resize(resize, method)
         return img
-
-
-def _not_none(label):
-    return label is not None
-
-
-class ImageClusters(LabelledDataset):
-    """Images + cluster labels from a JSON dict {img_path: cluster}."""
-
-    def __init__(self, json_path, root: Optional[str] = None, filter=_not_none):
-        self.root = root
-        self.imgs = []
-        self.labels = []
-        if isinstance(json_path, dict):
-            data = json_path
-        else:
-            with open(json_path) as f:
-                data = json.load(f)
-            assert isinstance(data, dict), "json content is not a dictionary"
-        for img, cls in data.items():
-            assert isinstance(img, str)
-            if not filter(cls):
-                continue
-            if type(cls) not in (str, int, type(None)):
-                continue
-            self.imgs.append(img)
-            self.labels.append(cls)
-        self.find_classes()
-        self.nimg = len(self.imgs)
-        self.nquery = 0
-
-    def get_key(self, i: int) -> str:
-        return self.imgs[i]
-
-    def get_label(self, i: int, toint: bool = False):
-        label = self.labels[i]
-        return self.cls_idx[label] if toint else label
-
-
-class NullCluster(ImageClusters):
-    """Only the images whose cluster label is null."""
-
-    def __init__(self, json_path, root: Optional[str] = None):
-        super().__init__(json_path, root, lambda c: c is None)
