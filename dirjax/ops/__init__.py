@@ -9,6 +9,12 @@ from .pooling import (  # noqa: F401
     sympow,
     sympow_pool,
 )
-from .qe import expand_database, expand_descriptors, expand_queries  # noqa: F401
+from .qe import (  # noqa: F401
+    expand_database,
+    expand_database_chunked,
+    expand_descriptors,
+    expand_queries,
+    expand_queries_chunked,
+)
 from .ranking import compute_scores, compute_scores_chunked, rank_topk  # noqa: F401
 from .whitening import PCAParams, apply_whitening, fit_pca, whitening_matrix  # noqa: F401

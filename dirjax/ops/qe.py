@@ -6,38 +6,52 @@ original and its top-k neighbors weighted by similarity^alpha, re-L2-normed:
 
     q' = normalize( (q + sum_{j in topk(q)} sim(q, d_j)^alpha * d_j) / (k+1) )
 
-For ADBA the database expands against itself with the self-similarity on the
-diagonal zeroed first.
+For ADBA the database expands against itself with the self-similarity
+zeroed first (reference convention: a zeroed self can still occupy a top-k
+slot — with weight 0^alpha — when fewer than k neighbors score positive).
 
-On TPU the whole expansion is two MXU matmuls plus a top-k — no host loop.
-The chunked variant bounds the (Nq, Nd) similarity matrix in HBM.
+On TPU the dense expansion is two MXU matmuls plus a top-k — no host loop.
+The ``*_chunked`` variants bound peak memory for million-row databases:
+similarities are produced in (row_block, db_chunk) tiles, reduced to a
+running top-k, and only the k neighbor rows per query are ever gathered —
+the (Nq, Nd) / (Nd, Nd) similarity matrix never materializes.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 
 from .normalize import l2_normalize
 
-__all__ = ["expand_descriptors", "expand_queries", "expand_database"]
+__all__ = ["expand_descriptors", "expand_queries", "expand_database",
+           "expand_queries_chunked", "expand_database_chunked"]
+
+
+def _weights(top_sims, alpha: float):
+    """sim^alpha exactly as numpy computes it for the reference's integer
+    alpha: negative sims keep sign^alpha (jnp.power alone would NaN)."""
+    if float(alpha).is_integer():
+        return jnp.sign(top_sims) ** int(alpha) * jnp.power(jnp.abs(top_sims),
+                                                            alpha)
+    return jnp.power(top_sims, alpha)
+
+
+def _expand_from_topk(descs, db_descs, top_sims, top_idx, alpha: float,
+                      k: int):
+    neighbors = jnp.take(db_descs, top_idx, axis=0)      # (N, k, D)
+    weighted = jnp.einsum("nk,nkd->nd", _weights(top_sims, alpha), neighbors,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+    return l2_normalize((descs + weighted) / (k + 1.0))
 
 
 def _expand_from_sims(descs, db_descs, sims, alpha: float, k: int):
     k = min(int(k), db_descs.shape[0])
-    top_sims, top_idx = jax.lax.top_k(sims, k)  # (N, k)
-    # sim^alpha exactly as numpy computes it for the reference's integer
-    # alpha: negative sims keep sign^alpha (jnp.power alone would NaN there)
-    if float(alpha).is_integer():
-        weights = jnp.sign(top_sims) ** int(alpha) * jnp.power(jnp.abs(top_sims), alpha)
-    else:
-        weights = jnp.power(top_sims, alpha)
-    neighbors = jnp.take(db_descs, top_idx, axis=0)  # (N, k, D)
-    weighted = jnp.einsum("nk,nkd->nd", weights, neighbors,
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32)
-    out = (descs + weighted) / (k + 1.0)
-    return l2_normalize(out)
+    top_sims, top_idx = jax.lax.top_k(sims, k)           # (N, k)
+    return _expand_from_topk(descs, db_descs, top_sims, top_idx, alpha, k)
 
 
 def expand_queries(qdescs, db_descs, alpha: float = 3.0, k: int = 10):
@@ -58,6 +72,87 @@ def expand_database(db_descs, alpha: float = 3.0, k: int = 10):
     n = db_descs.shape[0]
     sims = sims * (1.0 - jnp.eye(n, dtype=sims.dtype))
     return _expand_from_sims(db_descs, db_descs, sims, alpha, k)
+
+
+# --------------------------------------------------------------------------
+# chunked variants: bounded memory at 1M-row scale
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "zero_self"))
+def _chunk_topk(q, chunk, start, row0, k: int, zero_self: bool):
+    """Top-k of q @ chunk.T with global column offset ``start``; when
+    ``zero_self``, the (global row == global col) self-similarities are
+    zeroed first (ADBA convention)."""
+    sims = jnp.matmul(q, chunk.T, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    if zero_self:
+        col = start + jnp.arange(chunk.shape[0], dtype=jnp.int32)[None, :]
+        row = row0 + jnp.arange(q.shape[0], dtype=jnp.int32)[:, None]
+        sims = jnp.where(col == row, 0.0, sims)
+    vals, idx = jax.lax.top_k(sims, k)
+    return vals, idx + start
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_topk(v1, i1, v2, i2, k: int):
+    vals = jnp.concatenate([v1, v2], axis=1)
+    idxs = jnp.concatenate([i1, i2], axis=1)
+    best, pos = jax.lax.top_k(vals, k)
+    return best, jnp.take_along_axis(idxs, pos, axis=1)
+
+
+def _streaming_topk(q, db, k: int, db_chunk: int, row0=None):
+    """(values, indices) of the top-k per query, streaming the database in
+    ``db_chunk``-row tiles: peak memory O(len(q) * db_chunk)."""
+    assert db_chunk >= k, f"db_chunk={db_chunk} must be >= k={k}"
+    zero_self = row0 is not None
+    row0 = jnp.int32(row0 if zero_self else 0)
+    best = None
+    n = db.shape[0]
+    for start in range(0, n, db_chunk):
+        chunk = db[start:min(start + db_chunk, n)]
+        kk = min(k, chunk.shape[0])
+        v, i = _chunk_topk(q, chunk, jnp.int32(start), row0, kk, zero_self)
+        best = (v, i) if best is None else _merge_topk(*best, v, i, k)
+    return best
+
+
+def expand_queries_chunked(qdescs, db_descs, alpha: float = 3.0, k: int = 10,
+                           *, db_chunk: int = 131072):
+    """AQE over a database too large for an (Nq, Nd) similarity matrix.
+
+    Equivalent to :func:`expand_queries` (same top-k, same weighting); the
+    database may stay bf16 — scores accumulate in fp32 on the MXU."""
+    qdescs = jnp.asarray(qdescs, dtype=jnp.float32)
+    db_descs = jnp.asarray(db_descs)
+    k = min(int(k), db_descs.shape[0])
+    q_cast = qdescs.astype(db_descs.dtype)
+    vals, idxs = _streaming_topk(q_cast, db_descs, k, db_chunk)
+    neighbors_src = db_descs.astype(jnp.float32)
+    return _expand_from_topk(qdescs, neighbors_src, vals, idxs, alpha, k)
+
+
+def expand_database_chunked(db_descs, alpha: float = 3.0, k: int = 10, *,
+                            row_block: int = 4096, db_chunk: int = 131072):
+    """ADBA at scale: both the query rows (the database itself) and the
+    scored columns stream in blocks — peak memory O(row_block * db_chunk)
+    similarities plus the output, never (Nd, Nd).
+
+    Equivalent to :func:`expand_database` (self-similarity zeroed before
+    the top-k, reference test_dir.py:33-34)."""
+    db_descs = jnp.asarray(db_descs)
+    n = db_descs.shape[0]
+    k = min(int(k), n)
+    out = []
+    db32 = None
+    for row0 in range(0, n, row_block):
+        rows = db_descs[row0:min(row0 + row_block, n)]
+        vals, idxs = _streaming_topk(rows, db_descs, k, db_chunk, row0=row0)
+        if db32 is None:
+            db32 = db_descs.astype(jnp.float32)
+        out.append(_expand_from_topk(rows.astype(jnp.float32), db32,
+                                     vals, idxs, alpha, k))
+    return jnp.concatenate(out, axis=0)
 
 
 def expand_descriptors(descs, db=None, alpha: float = 0, k: int = 0):

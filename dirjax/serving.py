@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.qe import expand_queries
+from .ops.qe import expand_queries_chunked
 from .ops.topk_pallas import rank_topk_fused
 
 __all__ = ["RetrievalIndex"]
@@ -63,8 +63,9 @@ class RetrievalIndex:
         q = jnp.asarray(q, self.dtype)
         if self.mesh is None:
             if aqe:
-                q = expand_queries(q, self._db, alpha=aqe["alpha"],
-                                   k=aqe["k"]).astype(self.dtype)
+                # chunked: never materializes the (Nq, Nd) similarity matrix
+                q = expand_queries_chunked(q, self._db, alpha=aqe["alpha"],
+                                           k=aqe["k"]).astype(self.dtype)
             vals, idxs = rank_topk_fused(q, self._db, k)
         else:
             from .parallel.ranking import sharded_aqe, sharded_topk

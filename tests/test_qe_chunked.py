@@ -1,0 +1,72 @@
+"""Chunked AQE/ADBA must match the dense implementations exactly while
+streaming the database in bounded tiles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dirjax.ops.qe import (expand_database, expand_database_chunked,
+                           expand_queries, expand_queries_chunked)
+
+
+@pytest.fixture
+def descs(rng):
+    db = rng.normal(size=(97, 24)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.normal(size=(7, 24)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q, db
+
+
+@pytest.mark.parametrize("db_chunk", [16, 33, 97, 256])
+def test_aqe_chunked_matches_dense(descs, db_chunk):
+    q, db = descs
+    dense = np.asarray(expand_queries(q, db, alpha=3.0, k=10))
+    chunked = np.asarray(expand_queries_chunked(q, db, alpha=3.0, k=10,
+                                                db_chunk=db_chunk))
+    np.testing.assert_allclose(chunked, dense, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("row_block,db_chunk", [(8, 16), (33, 64), (97, 97),
+                                                (4096, 131072)])
+def test_adba_chunked_matches_dense(descs, row_block, db_chunk):
+    _, db = descs
+    dense = np.asarray(expand_database(db, alpha=3.0, k=10))
+    chunked = np.asarray(expand_database_chunked(db, alpha=3.0, k=10,
+                                                 row_block=row_block,
+                                                 db_chunk=db_chunk))
+    np.testing.assert_allclose(chunked, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_aqe_chunked_bf16_db(descs):
+    """Serving keeps the DB bf16; chunked AQE must accept it and stay
+    close to the fp32 result."""
+    q, db = descs
+    dense = np.asarray(expand_queries(q, db, alpha=3.0, k=10))
+    chunked = np.asarray(expand_queries_chunked(
+        q, jnp.asarray(db, jnp.bfloat16), alpha=3.0, k=10, db_chunk=64))
+    # bf16 scoring reorders near-ties; descriptors stay close in cosine
+    cos = np.sum(dense * chunked, axis=1)
+    assert np.all(cos > 0.99)
+
+
+def test_k_clamped_to_db_rows(descs):
+    q, db = descs
+    small = db[:4]
+    dense = np.asarray(expand_queries(q, small, alpha=2.0, k=10))
+    chunked = np.asarray(expand_queries_chunked(q, small, alpha=2.0, k=10,
+                                                db_chunk=131072))
+    np.testing.assert_allclose(chunked, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_serving_aqe_still_correct(rng):
+    """RetrievalIndex.search(aqe=...) goes through the chunked path now."""
+    from dirjax.serving import RetrievalIndex
+
+    db = rng.normal(size=(50, 16)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    idx = RetrievalIndex(db)
+    q = db[:3] + 0.01 * rng.normal(size=(3, 16)).astype(np.float32)
+    vals, ids = idx.search(q, k=5, aqe={"k": 3, "alpha": 3})
+    assert ids.shape == (3, 5)
+    assert (ids[np.arange(3), 0] == np.arange(3)).all()
