@@ -25,6 +25,16 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=("ap", "tap", "taps"))
     parser.add_argument("--nq", type=int, default=25, help="AP quantizer bins")
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--lr-schedule", type=str, default="constant",
+                        choices=("constant", "cosine", "step"))
+    parser.add_argument("--lr-decay", type=float, default=0.1,
+                        help="step-schedule decay factor")
+    parser.add_argument("--lr-decay-steps", type=int, default=0,
+                        help="step-schedule period in optimizer steps")
+    parser.add_argument("--warmup-steps", type=int, default=0)
+    parser.add_argument("--crops-per-image", type=int, default=1,
+                        help="Siamese multi-crop: repeats of each sampled "
+                             "image per batch, each a fresh random crop")
     parser.add_argument("--weight-decay", type=float, default=1e-6)
     parser.add_argument("--optimizer", type=str, default="adam",
                         choices=("adam", "sgd"))
@@ -67,7 +77,11 @@ def main(argv=None):
 
     cfg = TrainConfig(
         arch=args.arch, out_dim=args.out_dim, loss=args.loss, nq=args.nq,
-        learning_rate=args.lr, weight_decay=args.weight_decay,
+        learning_rate=args.lr, lr_schedule=args.lr_schedule,
+        lr_decay=args.lr_decay, lr_decay_steps=args.lr_decay_steps,
+        warmup_steps=args.warmup_steps,
+        crops_per_image=args.crops_per_image,
+        weight_decay=args.weight_decay,
         optimizer=args.optimizer, freeze_bn=not args.no_freeze_bn,
         epochs=args.epochs, batch_size=args.batch_size, trfs=args.trfs,
         seed=args.seed, threads=args.threads)

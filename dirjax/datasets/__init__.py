@@ -28,7 +28,11 @@ from .combinators import (  # noqa: F401
 from .registry import available, create, db_root, register  # noqa: F401
 from . import benchmarks  # noqa: F401  (registers Oxford5K, Paris6K, ...)
 from .benchmarks import *  # noqa: F401,F403
-from .synthetic import Synthetic, make_synthetic_benchmark  # noqa: F401
+from .synthetic import (  # noqa: F401
+    Synthetic,
+    SyntheticLabels,
+    make_synthetic_benchmark,
+)
 from .downloader import download_dataset  # noqa: F401
 
 # generic types are also creatable by name from the CLI

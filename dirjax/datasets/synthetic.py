@@ -17,17 +17,20 @@ import pickle
 
 import numpy as np
 
-from .generic import ImageListRelevants
+from .generic import ImageListRelevants, LabeledImages
 from .registry import register
 
 
-def _draw_instance(rng, cls: int, size=(64, 48), jitter=8):
+def _draw_instance(rng, cls: int, size=(64, 48), jitter=8, hue_period=1):
     """A small RGB image whose appearance is determined by cls, with
-    instance-level jitter."""
+    instance-level jitter. ``hue_period`` > 1 makes runs of that many
+    consecutive classes share a background hue so they differ only by
+    shape — a harder fixture where raw color statistics can't separate
+    classes (used by training-improves-retrieval tests)."""
     from PIL import Image, ImageDraw
 
     w, h = size
-    base_hue = (cls * 57) % 255
+    base_hue = ((cls // hue_period) * 57) % 255
     bg = (int(base_hue), int(255 - base_hue), 128)
     img = Image.new("RGB", (w, h), bg)
     draw = ImageDraw.Draw(img)
@@ -55,6 +58,7 @@ def make_synthetic_benchmark(
     revisited: bool = True,
     image_size=(64, 48),
     seed: int = 0,
+    hue_period: int = 1,
 ) -> str:
     """Write images + a gnd_synthetic.pkl into ``out_dir``; returns the
     pickle path. Query q for class c is a held-out instance of that class."""
@@ -66,7 +70,7 @@ def make_synthetic_benchmark(
     for cls in range(n_classes):
         for k in range(per_class):
             name = f"img_c{cls}_{k}"
-            _draw_instance(rng, cls, image_size).save(
+            _draw_instance(rng, cls, image_size, hue_period=hue_period).save(
                 os.path.join(jpg_dir, name + ".jpg"))
             imlist.append(name)
             labels.append(cls)
@@ -87,7 +91,7 @@ def make_synthetic_benchmark(
     labels_arr = np.asarray(labels)
     for cls in range(n_classes):
         qname = f"query_c{cls}"
-        _draw_instance(rng, cls, image_size).save(
+        _draw_instance(rng, cls, image_size, hue_period=hue_period).save(
             os.path.join(jpg_dir, qname + ".jpg"))
         qimlist.append(qname)
         members = np.where(labels_arr == cls)[0].tolist()
@@ -128,3 +132,22 @@ class Synthetic(ImageListRelevants):
         if not os.path.exists(gt_path):
             make_synthetic_benchmark(root, revisited=revisited, **kw)
         super().__init__(gt_path, root=root)
+
+
+@register
+class SyntheticLabels(LabeledImages):
+    """Class-labeled training view over the synthetic benchmark's database
+    images (the landmark id is encoded in the filename); the pure-noise
+    distractors are excluded. The offline stand-in for Landmarks_clean in
+    train -> eval end-to-end tests."""
+
+    def __init__(self, root: str | None = None, revisited: bool = True, **kw):
+        bench = Synthetic(root, revisited=revisited, **kw)
+        imgs, labels = [], []
+        for name in bench.imgs:
+            stem = os.path.splitext(name)[0]
+            if stem.startswith("img_c"):
+                imgs.append(name)
+                labels.append(stem.split("_")[1])  # 'c<cls>'
+        super().__init__(imgs, labels, root=bench.root)
+        self.img_dir = bench.img_dir

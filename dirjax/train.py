@@ -35,8 +35,9 @@ from .models import Model, create_model
 from .models.rmac import apply_descriptor
 from .utils.checkpoints import Checkpoint, load_native, save_native
 
-__all__ = ["TrainConfig", "make_loss", "batch_ap_loss", "make_train_step",
-           "make_sharded_train_step", "fit", "save_checkpoint"]
+__all__ = ["TrainConfig", "make_loss", "batch_ap_loss", "make_lr_schedule",
+           "make_optimizer", "make_train_step", "make_sharded_train_step",
+           "fit", "save_checkpoint"]
 
 
 @dataclass
@@ -46,12 +47,20 @@ class TrainConfig:
     loss: str = "ap"            # 'ap' | 'tap' | 'taps'
     nq: int = 25
     learning_rate: float = 1e-4
+    lr_schedule: str = "constant"   # 'constant' | 'cosine' | 'step'
+    lr_decay: float = 0.1           # step-schedule decay factor
+    lr_decay_steps: int = 0         # step-schedule period (0: total_steps/3)
+    warmup_steps: int = 0           # linear warmup prepended to any schedule
     weight_decay: float = 1e-6
     momentum: float = 0.9
     optimizer: str = "adam"     # 'adam' | 'sgd'
     freeze_bn: bool = True
     epochs: int = 1
     batch_size: int = 16
+    #: Siamese multi-crop batches (BASELINE configs[4]): each sampled image
+    #: appears this many times per batch, each through an independent draw
+    #: of the random transform chain — in-batch positives at multiple crops
+    crops_per_image: int = 1
     image_size: int = 224
     trfs: str = "RandomScale(256,288), RandomCrop(224), RandomFlip()"
     seed: int = 0
@@ -105,13 +114,38 @@ def _bn_labels(params):
     return walk(params)
 
 
-def make_optimizer(cfg: TrainConfig, params):
+def make_lr_schedule(cfg: TrainConfig, total_steps: Optional[int] = None):
+    """Learning-rate schedule from the config; ``total_steps`` sizes the
+    cosine decay (and the default step period)."""
+    base = cfg.learning_rate
+    if cfg.lr_schedule == "constant":
+        sched = base
+    elif cfg.lr_schedule == "cosine":
+        assert total_steps, "cosine schedule needs the total step count"
+        sched = optax.cosine_decay_schedule(
+            base, max(1, total_steps - cfg.warmup_steps))
+    elif cfg.lr_schedule == "step":
+        period = cfg.lr_decay_steps or max(1, (total_steps or 3) // 3)
+        sched = optax.exponential_decay(base, period, cfg.lr_decay,
+                                        staircase=True)
+    else:
+        raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule}")
+    if cfg.warmup_steps:
+        warmup = optax.linear_schedule(0.0, base, cfg.warmup_steps)
+        if cfg.lr_schedule == "constant":
+            return warmup  # linear_schedule holds its end value afterwards
+        sched = optax.join_schedules([warmup, sched], [cfg.warmup_steps])
+    return sched
+
+
+def make_optimizer(cfg: TrainConfig, params, total_steps: Optional[int] = None):
+    lr = make_lr_schedule(cfg, total_steps)
     if cfg.optimizer == "adam":
-        tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
     elif cfg.optimizer == "sgd":
         tx = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),
-            optax.sgd(cfg.learning_rate, momentum=cfg.momentum))
+            optax.sgd(lr, momentum=cfg.momentum))
     else:
         raise ValueError(cfg.optimizer)
     if cfg.freeze_bn:
@@ -273,19 +307,30 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
         best = float(ckpt.extra.get("best", float("inf")))
         opt_path = resume + ".opt"
 
-    tx = make_optimizer(cfg, params)
+    loader = get_loader(dataset, cfg.trfs, preprocess=model.preprocess,
+                        output=("img", "label"), totensor=True)
+    sampler = BalancedSampler(dataset, rng=np.random.default_rng(cfg.seed))
+
+    # total optimizer steps (sizes cosine/step schedules): sampler draws x
+    # crops per epoch, optionally truncated by steps_per_epoch
+    per_epoch = len(sampler) * cfg.crops_per_image
+    if steps_per_epoch:
+        per_epoch = min(per_epoch, steps_per_epoch * cfg.batch_size)
+    total_steps = max(1, per_epoch // cfg.batch_size) * cfg.epochs
+
+    tx = make_optimizer(cfg, params, total_steps=total_steps)
     opt_state = tx.init(params)
     if opt_path and os.path.exists(opt_path):
         opt_state = _load_opt_state(opt_path, opt_state)
     step = make_train_step(model, cfg, tx, dtype=dtype)
 
-    loader = get_loader(dataset, cfg.trfs, preprocess=model.preprocess,
-                        output=("img", "label"), totensor=True)
-    sampler = BalancedSampler(dataset, rng=np.random.default_rng(cfg.seed))
-
     history = []
     for epoch in range(start_epoch, cfg.epochs):
         order = list(iter(sampler))
+        if cfg.crops_per_image > 1:
+            # adjacent repeats land in the same batch; each repeat gets an
+            # independent random-transform draw (Siamese multi-crop)
+            order = [i for i in order for _ in range(cfg.crops_per_image)]
         if steps_per_epoch:
             order = order[: steps_per_epoch * cfg.batch_size]
         epoch_losses = []
