@@ -1,0 +1,149 @@
+"""Cross-toolbox end-to-end parity (the offline mAP-oracle proxy,
+VERDICT round-1 item 2): build a reference-class torch model with random
+weights, save it through the reference's own checkpoint schema, run BOTH
+toolboxes' full test_dir pipelines (extract -> pool -> whiten -> AQE ->
+rank -> mAP) on the synthetic benchmark, and assert equal mAP.
+
+The reference pipeline runs the actual dirtorch code loaded by file path
+(never copied); torchvision is replaced by the minimal shim in
+tests/torchvision_shim.py. `validate_oracle.py` covers the real oracle the
+moment $DB_ROOT + released checkpoints appear."""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+# the reference reads $DB_ROOT at import time (oxford.py:4)
+os.environ.setdefault("DB_ROOT", tempfile.mkdtemp(prefix="dbroot"))
+
+
+def _load_reference():
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        import torchvision_shim
+
+        torchvision_shim.install()
+        import dirtorch.datasets.generic as ref_generic
+        import dirtorch.nets as ref_nets
+        import dirtorch.test_dir as ref_test
+        import dirtorch.utils.common as ref_common
+        from sklearn.decomposition import PCA  # noqa: F401
+
+        return ref_generic, ref_nets, ref_test, ref_common
+    except Exception:
+        return None
+
+
+REF = _load_reference()
+
+
+@pytest.fixture(scope="module")
+def toolchain(tmp_path_factory):
+    """(reference modules, random torch net, synthetic root, checkpoint)"""
+    import torch
+
+    ref_generic, ref_nets, ref_test, ref_common = REF
+    torch.manual_seed(0)
+    net = ref_nets.create_model("resnet18_rmac", pretrained="")
+    net.eval()
+    net.iscuda = False
+    root = str(tmp_path_factory.mktemp("xbench"))
+    return ref_generic, ref_nets, ref_test, ref_common, net, root
+
+
+def _fit_pca_on_db(ref_test, ref_common, net, ref_db):
+    """Whitening learned on the DB's own descriptors — the stand-in for the
+    reference's Landmarks-learned PCA (a PCA fit on unrelated random data
+    degenerates: every whitened descriptor collapses to the same direction
+    and all scores tie at 1.0)."""
+    import torch
+    import torch.nn.functional as F
+    from sklearn.decomposition import PCA
+
+    with torch.no_grad():
+        descs = ref_test.extract_image_features(
+            ref_db, "", net, threads=2, batch_size=1, iscuda=False)
+    pca = PCA(whiten=True)
+    pca.fit(ref_common.tonumpy(F.normalize(descs, p=2, dim=1)))
+    return pca
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(REF is None, reason="reference toolbox not importable")
+def test_full_pipeline_map_parity_revisited(toolchain):
+    import torch
+    from types import SimpleNamespace
+
+    import dirjax.datasets as D
+    from dirjax.cli.test_dir import main as dirjax_test_dir
+
+    ref_generic, _, ref_test, ref_common, net, root = toolchain
+    bench = D.Synthetic(root)
+    gt_path = os.path.join(bench.root, "gnd_synthetic.pkl")
+    ref_db = ref_generic.ImageListRelevants(gt_path, root=bench.root)
+
+    pca = _fit_pca_on_db(ref_test, ref_common, net, ref_db)
+    net.pca = pca
+    # the reference's eval_model reads the aqe/adba params from the global
+    # `args` instead of its own arguments (its latent bug, test_dir.py:141,143)
+    ref_test.args = SimpleNamespace(aqe={"k": 2, "alpha": 2}, adba=None)
+    with torch.no_grad():
+        res_ref = ref_test.eval_model(
+            ref_db, net, "", pooling="mean",
+            whiten=dict(whitenp=0.25, whitenv=None, whitenm=1.0),
+            aqe={"k": 2, "alpha": 2}, threads=2, batch_size=4)
+
+    ck = os.path.join(root, "ref_random.pt")
+    torch.save({"state_dict": net.state_dict(),
+                "model_options": {"arch": "resnet18_rmac"},
+                "preprocess": net.preprocess,
+                "pca": {"Landmarks_clean": pca}}, ck)
+
+    res_jax = dirjax_test_dir([
+        "--dataset", f"Synthetic('{root}')", "--checkpoint", ck,
+        "--whiten", "Landmarks_clean", "--whitenp", "0.25",
+        "--aqe", "2", "2", "--gpu", "-1", "--trfs", ""])
+
+    for key in ("mAP-easy", "mAP-medium", "mAP-hard"):
+        assert res_jax[key] == pytest.approx(float(res_ref[key]), abs=1e-4), \
+            f"{key}: dirjax {res_jax[key]} != dirtorch {float(res_ref[key])}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(REF is None, reason="reference toolbox not importable")
+def test_full_pipeline_map_parity_classic(toolchain):
+    """Classic ('ok'-list) protocol flavor, whitening only (no AQE)."""
+    import torch
+
+    import dirjax.datasets as D
+    from dirjax.cli.test_dir import main as dirjax_test_dir
+
+    ref_generic, _, ref_test, ref_common, net, root = toolchain
+    bench = D.Synthetic(root, revisited=False)
+    gt_path = os.path.join(bench.root, "gnd_synthetic.pkl")
+    ref_db = ref_generic.ImageListRelevants(gt_path, root=bench.root)
+
+    pca = _fit_pca_on_db(ref_test, ref_common, net, ref_db)
+    net.pca = pca
+    with torch.no_grad():
+        res_ref = ref_test.eval_model(
+            ref_db, net, "", pooling="mean",
+            whiten=dict(whitenp=0.25, whitenv=None, whitenm=1.0),
+            threads=2, batch_size=4)
+
+    ck = os.path.join(root, "ref_random_classic.pt")
+    torch.save({"state_dict": net.state_dict(),
+                "model_options": {"arch": "resnet18_rmac"},
+                "preprocess": net.preprocess,
+                "pca": {"Landmarks_clean": pca}}, ck)
+
+    res_jax = dirjax_test_dir([
+        "--dataset", f"Synthetic('{root}', revisited=False)",
+        "--checkpoint", ck, "--whiten", "Landmarks_clean",
+        "--whitenp", "0.25", "--gpu", "-1", "--trfs", ""])
+
+    assert res_jax["mAP"] == pytest.approx(float(res_ref["mAP"]), abs=1e-4)
