@@ -82,16 +82,26 @@ def _timed_loop(fn, init_args, n_iter: int) -> float:
     for n in (n_lo, n_hi):                    # compile both variants
         _sync(loop(tuple(init_args), n))
     _sync(loop(tuple(init_args), n_lo))       # warm
-    t0 = time.perf_counter()
-    _sync(loop(tuple(init_args), n_lo))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _sync(loop(tuple(init_args), n_hi))
-    t_hi = time.perf_counter() - t0
+
+    def best_of(n, reps=3):
+        # min over repetitions rejects host-side scheduling noise (the
+        # tunnel dispatch cost varies tens of ms under load)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _sync(loop(tuple(init_args), n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = best_of(n_lo), best_of(n_hi)
     return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
 
 
-def bench_descriptor_throughput(arch: str, batch: int, hw, n_iter: int = 16):
+def bench_descriptor_throughput(arch: str, batch: int, hw, n_iter: int = 16,
+                                masked: bool = False):
+    """``masked=True`` measures the bucket-mode path: images padded onto a
+    canvas with a validity mask and masked GeM pooling (the throughput mode
+    of extraction for variable-size corpora)."""
     from dirjax.models import create_model
     from dirjax.models.rmac import apply_descriptor
 
@@ -100,9 +110,18 @@ def bench_descriptor_throughput(arch: str, batch: int, hw, n_iter: int = 16):
     cfg = model.config
     h, w = hw
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, h, w, 3), jnp.float32)
+    if masked:
+        # ~90% valid rows/cols: a typical padded bucket occupancy
+        mask = (jnp.arange(h)[None, :, None] < int(h * 0.94)) & \
+               (jnp.arange(w)[None, None, :] < int(w * 0.96))
+        mask = jnp.broadcast_to(mask, (batch, h, w))
 
-    def fwd(images, params):
-        return apply_descriptor(params, images, cfg, dtype=jnp.bfloat16)
+        def fwd(images, params):
+            return apply_descriptor(params, images, cfg, mask=mask,
+                                    dtype=jnp.bfloat16)
+    else:
+        def fwd(images, params):
+            return apply_descriptor(params, images, cfg, dtype=jnp.bfloat16)
 
     sec = _timed_loop(fwd, (x, params), n_iter)
     return batch / sec
@@ -126,12 +145,14 @@ def bench_ranking_qps(n_db: int = 1_000_000, dim: int = 2048, nq: int = 64,
 
     _sync(rank(qs[0]))  # compile + warm
     _sync(rank(qs[1]))
-    t0 = time.perf_counter()
-    for q_ in qs:
-        vals = rank(q_)
-    _sync(vals)
-    sec = (time.perf_counter() - t0) / n_iter
-    return nq / sec
+    best = float("inf")
+    for _ in range(3):  # best-of-3: reject host scheduling noise
+        t0 = time.perf_counter()
+        for q_ in qs:
+            vals = rank(q_)
+        _sync(vals)
+        best = min(best, time.perf_counter() - t0)
+    return nq / (best / n_iter)
 
 
 def bench_head_ms(n_iter: int = 20):
@@ -162,9 +183,19 @@ def main():
         extras["r50_error"] = str(e)[:120]
 
     try:
+        extras["r101_bucket_masked_img_per_sec"] = round(
+            bench_descriptor_throughput("resnet101_rmac", batch=4,
+                                        hw=(1024, 768), masked=True), 2)
+    except Exception as e:
+        extras["masked_error"] = str(e)[:120]
+
+    try:
         qps = bench_ranking_qps()
         extras["ranking_qps_1M_topk100"] = round(qps, 1)
         extras["ranking_qps_1M_topk10"] = round(bench_ranking_qps(k=10), 1)
+        # 256-query batches amortize the HBM stream over more MXU work
+        extras["ranking_qps_1M_topk100_nq256"] = round(
+            bench_ranking_qps(nq=256, n_iter=6), 1)
     except Exception as e:
         extras["ranking_error"] = str(e)[:120]
 
