@@ -63,11 +63,43 @@ class SampleLoader:
     use_all: bool = False
     batching: str = "group"
     seed = None
+    #: use the native C decode+resize pipeline when the transform chain and
+    #: dataset allow it (bit-exact with the PIL path; see dirjax.data.native)
+    native_decode: bool = True
 
     def __init__(self, dataset, transform=None, output=("img", "label")):
         self.dataset = dataset
         self.transform = transform
         self.output = tuple(output)
+        self._native_load = None  # resolved lazily: False = disabled
+
+    def __getstate__(self):
+        # the resolved fast path is a closure (unpicklable); worker processes
+        # re-resolve it locally
+        state = self.__dict__.copy()
+        state["_native_load"] = None
+        return state
+
+    _NATIVE_FIELDS = {"img", "label", "img_key", "img_filename", "imsize"}
+
+    def _native_fast_path(self):
+        """filename -> img-array loader, or None. Enabled only when (a) the
+        native lib built, (b) the transform chain is exactly reproducible
+        natively, (c) the dataset serves plain image files (no crop/ROI
+        override of get_image), and (d) no output field needs PIL-side
+        bookkeeping. Bit-exactness with the PIL path is tested
+        (tests/test_native.py)."""
+        if self._native_load is None:
+            from ..datasets.base import Dataset as _Base
+            from . import native
+
+            plan = None
+            if (self.native_decode and native.available()
+                    and set(self.output) <= self._NATIVE_FIELDS
+                    and type(self.dataset).get_image is _Base.get_image):
+                plan = native.plan_fast_path(self.transform)
+            self._native_load = plan if plan is not None else False
+        return self._native_load or None
 
     def __len__(self):
         return len(self.dataset)
@@ -93,6 +125,25 @@ class SampleLoader:
                                batching=self.batching)
 
     def __getitem__(self, index):
+        fast = self._native_fast_path()
+        if fast is not None:
+            from .native import Unsupported
+
+            filename = self.dataset.get_filename(index)
+            try:
+                img = fast(filename)
+            except (Unsupported, ValueError, OSError):
+                img = None  # CMYK/16-bit/exotic input: PIL path below
+            if img is not None:
+                sample = {
+                    "img_filename": filename,
+                    "img_key": self.dataset.get_key(index),
+                    "img": img,
+                    "label": _try_to_get(self.dataset.get_label, index,
+                                         toint=True),
+                    "imsize": tuple(img.shape[:2]),
+                }
+                return {o: sample[o] for o in self.output}
         sample = {
             "img_filename": self.dataset.get_filename(index),
             "img_key": self.dataset.get_key(index),
@@ -228,7 +279,8 @@ def get_loader(dataset, trf_chain: str = "", iscuda=None, preprocess=None,
                shuffle: bool = False, balanced: float = 0,
                use_all: bool = False, totensor: bool = True,
                device_normalize: bool = False, batching: str = "group",
-               processes: int = 0, seed=None) -> SampleLoader:
+               processes: int = 0, seed=None,
+               native_decode: bool = True) -> SampleLoader:
     """Reference-signature convenience (pytorch_loader.py:11-73): build the
     transform chain from preprocess vars and return a :class:`SampleLoader`.
 
@@ -258,6 +310,7 @@ def get_loader(dataset, trf_chain: str = "", iscuda=None, preprocess=None,
     loader.use_all = use_all
     loader.batching = batching
     loader.seed = seed
+    loader.native_decode = native_decode
     return loader
 
 
