@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from .normalize import l2_normalize
 
 __all__ = ["expand_descriptors", "expand_queries", "expand_database",
-           "expand_queries_chunked", "expand_database_chunked"]
+           "expand_queries_chunked", "expand_database_chunked",
+           "expand_queries_quantized"]
 
 
 def _weights(top_sims, alpha: float):
@@ -153,6 +154,26 @@ def expand_database_chunked(db_descs, alpha: float = 3.0, k: int = 10, *,
         out.append(_expand_from_topk(rows.astype(jnp.float32), db32,
                                      vals, idxs, alpha, k))
     return jnp.concatenate(out, axis=0)
+
+
+def expand_queries_quantized(qdescs, db_i8, db_scales, alpha: float = 3.0,
+                             k: int = 10):
+    """AQE against an int8-quantized database (:func:`..ops.topk_pallas.
+    quantize_db`): the top-k runs through the int8 streaming kernel (half
+    the HBM bytes of bf16) and only the k neighbor rows per query are
+    gathered and dequantized. Same weighting/mean semantics as
+    :func:`expand_queries`."""
+    from .topk_pallas import rank_topk_fused
+
+    qdescs = jnp.asarray(qdescs, dtype=jnp.float32)
+    k = min(int(k), db_i8.shape[0])
+    vals, idxs = rank_topk_fused(qdescs, db_i8, k, db_scales=db_scales)
+    nb = jnp.take(db_i8, idxs, axis=0).astype(jnp.float32)      # (Nq, k, D)
+    nb = nb * jnp.take(db_scales.reshape(-1), idxs)[:, :, None]
+    weighted = jnp.einsum("nk,nkd->nd", _weights(vals, alpha), nb,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+    return l2_normalize((qdescs + weighted) / (k + 1.0))
 
 
 def expand_descriptors(descs, db=None, alpha: float = 0, k: int = 0):

@@ -22,13 +22,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.qe import expand_queries_chunked
-from .ops.topk_pallas import rank_topk_fused
+from .ops.topk_pallas import quantize_db, rank_topk_fused
 
 __all__ = ["RetrievalIndex"]
 
 
 class RetrievalIndex:
-    """Dot-product top-k search over a fixed descriptor database."""
+    """Dot-product top-k search over a fixed descriptor database.
+
+    ``dtype=jnp.int8`` stores the database 8-bit quantized (per-row scales,
+    :func:`dirjax.ops.topk_pallas.quantize_db`): half the HBM of bf16 —
+    twice the corpus per chip and twice the streaming-QPS ceiling — at
+    ~8-bit ranking noise. int8 is single-chip only (pass a bf16/fp32 dtype
+    with ``mesh=`` for sharded corpora).
+    """
 
     def __init__(self, descriptors, keys: Optional[Sequence[str]] = None,
                  mesh=None, dtype=jnp.float32):
@@ -41,7 +48,13 @@ class RetrievalIndex:
             assert len(self.keys) == self.n
         self.mesh = mesh
         self.dtype = dtype
-        if mesh is None:
+        self._scales = None
+        if dtype == jnp.int8:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "int8 index is single-chip; use bf16 for mesh sharding")
+            self._db, self._scales = quantize_db(descriptors)
+        elif mesh is None:
             self._db = jnp.asarray(descriptors, dtype)
         else:
             from .parallel.ranking import shard_database
@@ -60,6 +73,16 @@ class RetrievalIndex:
             q = q[None, :]  # single query convenience
         assert q.shape[1] == self.dim, \
             f"query dim {q.shape[1]} != index dim {self.dim}"
+        if self._scales is not None:  # int8 index
+            q = jnp.asarray(q, jnp.float32)
+            if aqe:
+                from .ops.qe import expand_queries_quantized
+
+                q = expand_queries_quantized(q, self._db, self._scales,
+                                             alpha=aqe["alpha"], k=aqe["k"])
+            vals, idxs = rank_topk_fused(q, self._db, k,
+                                         db_scales=self._scales)
+            return np.asarray(vals), np.asarray(idxs)
         q = jnp.asarray(q, self.dtype)
         if self.mesh is None:
             if aqe:
@@ -86,6 +109,9 @@ class RetrievalIndex:
     def save(self, path: str) -> None:
         db = np.asarray(self._db[: self.n] if self.mesh is None
                         else self._db[: self.n])
+        if self._scales is not None:
+            # persist dequantized fp32 so a reload may pick any dtype
+            db = db.astype(np.float32) * np.asarray(self._scales).T[: self.n]
         arrays = {"descriptors": db.astype(np.float32)}
         if self.keys is not None:
             arrays["keys"] = np.asarray(self.keys)

@@ -1,0 +1,134 @@
+"""int8-quantized database ranking: quantize_db + the int8 kernel path +
+the serving index. Pallas runs in interpret mode on the CPU harness; the
+same code paths are exercised compiled on TPU (PERF_NOTES.md)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dirjax.ops.qe import expand_queries, expand_queries_quantized
+from dirjax.ops.topk_pallas import quantize_db, rank_topk_fused
+from dirjax.serving import RetrievalIndex
+
+rng = np.random.default_rng(3)
+
+
+def _normed(n, d):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_quantize_roundtrip_error_bound():
+    db = _normed(200, 64)
+    q8, scales = quantize_db(db)
+    assert q8.dtype == jnp.int8 and scales.shape == (1, 200)
+    deq = np.asarray(q8, np.float32) * np.asarray(scales).T
+    # symmetric rounding: per-element error <= half a quantization step
+    step = np.asarray(scales).T  # (N, 1)
+    assert np.all(np.abs(deq - db) <= step / 2 + 1e-7)
+    # zero row must not produce NaN/inf scales
+    q8z, sz = quantize_db(np.zeros((3, 8), np.float32))
+    assert np.all(np.isfinite(np.asarray(sz))) and np.all(np.asarray(q8z) == 0)
+
+
+def test_int8_requires_scales():
+    db8, scales = quantize_db(_normed(64, 32))
+    with pytest.raises(ValueError):
+        rank_topk_fused(_normed(4, 32), db8, 5)
+
+
+def test_int8_kernel_matches_dense_dequantized():
+    """The Pallas int8 path must equal a dense top-k over the SAME quantized
+    values (quantization noise is a property of the data, not the kernel)."""
+    db = _normed(1024, 128)
+    q = _normed(16, 128)
+    db8, scales = quantize_db(db)
+    vals_k, idxs_k = rank_topk_fused(q, db8, 10, db_scales=scales,
+                                     use_pallas=True)
+    deq = np.asarray(db8, np.float32) * np.asarray(scales).T
+    dense = np.asarray(q, np.float32) @ deq.T
+    order = np.argsort(-dense, axis=1)[:, :10]
+    # overlap of index sets (bf16 query rounding can swap near-ties)
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(np.asarray(idxs_k), order)])
+    assert overlap >= 0.95, overlap
+    # values must match the dense scores at the returned indices
+    got = np.take_along_axis(dense, np.asarray(idxs_k), axis=1)
+    assert np.allclose(np.asarray(vals_k), got, atol=2e-2)
+
+
+def test_int8_ranking_close_to_fp32():
+    db = _normed(1024, 256)
+    q = _normed(8, 256)
+    db8, scales = quantize_db(db)
+    _, idx8 = rank_topk_fused(q, db8, 10, db_scales=scales, use_pallas=True)
+    _, idx32 = rank_topk_fused(q, db, 10, use_pallas=False)
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(np.asarray(idx8), np.asarray(idx32))])
+    assert overlap >= 0.8, f"int8 vs fp32 top-10 overlap {overlap}"
+    # the top-1 neighbor survives quantization essentially always
+    top1 = np.mean(np.asarray(idx8)[:, 0] == np.asarray(idx32)[:, 0])
+    assert top1 >= 0.8
+
+
+def test_small_quantized_db_fallback():
+    # below one kernel tile the eager fallback must serve the same answers
+    db = _normed(100, 32)
+    q = _normed(4, 32)
+    db8, scales = quantize_db(db)
+    vals, idxs = rank_topk_fused(q, db8, 5, db_scales=scales, use_pallas=True)
+    deq = np.asarray(db8, np.float32) * np.asarray(scales).T
+    order = np.argsort(-(np.asarray(q) @ deq.T), axis=1)[:, :5]
+    assert np.array_equal(np.asarray(idxs), order)
+
+
+def test_expand_queries_quantized_matches_dense():
+    db = _normed(600, 64)
+    q = _normed(5, 64)
+    db8, scales = quantize_db(db)
+    deq = np.asarray(db8, np.float32) * np.asarray(scales).T
+    want = np.asarray(expand_queries(q, deq, alpha=3.0, k=4))
+    got = np.asarray(expand_queries_quantized(q, db8, scales, alpha=3.0, k=4))
+    # same semantics over the same (quantized) neighbor set; bf16 top-k may
+    # reorder near-ties, so compare the expanded vectors, not the paths
+    cos = np.sum(want * got, axis=1)
+    assert np.all(cos > 0.999), cos
+
+
+class TestRetrievalIndexInt8:
+    def test_search_matches_fp32_index(self):
+        db = _normed(512, 128)
+        q = _normed(6, 128)
+        idx8 = RetrievalIndex(db, dtype=jnp.int8)
+        idx32 = RetrievalIndex(db, dtype=jnp.float32)
+        v8, i8 = idx8.search(q, k=5)
+        v32, i32 = idx32.search(q, k=5)
+        overlap = np.mean([len(set(a) & set(b)) / 5.0 for a, b in zip(i8, i32)])
+        assert overlap >= 0.8
+        assert np.allclose(v8[:, 0], v32[:, 0], atol=2e-2)
+
+    def test_aqe_runs_and_normalizes(self):
+        db = _normed(512, 64)
+        idx = RetrievalIndex(db, dtype=jnp.int8)
+        v, i = idx.search(_normed(3, 64), k=5, aqe={"k": 4, "alpha": 3.0})
+        assert v.shape == (3, 5) and np.all((0 <= i) & (i < 512))
+
+    def test_save_load_roundtrip(self, tmp_path):
+        db = _normed(128, 32)
+        keys = [f"img{j}" for j in range(128)]
+        idx = RetrievalIndex(db, keys=keys, dtype=jnp.int8)
+        p = str(tmp_path / "index.npz")
+        idx.save(p)
+        back = RetrievalIndex.load(p, dtype=jnp.int8)
+        # saved dequantized: within half a quantization step of the original
+        with np.load(p) as data:
+            step = np.abs(db).max(axis=1, keepdims=True) / 127.0
+            assert np.all(np.abs(data["descriptors"] - db) <= step / 2 + 1e-7)
+        assert back.lookup([[0, 5]]) == [["img0", "img5"]]
+
+    def test_int8_mesh_rejected(self):
+        from dirjax.parallel import make_mesh
+
+        with pytest.raises(NotImplementedError):
+            RetrievalIndex(_normed(64, 32), mesh=make_mesh(db=2),
+                           dtype=jnp.int8)
