@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=("adam", "sgd"))
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--microbatch", type=int, default=0,
+                        help="two-stage backprop: recompute forwards in "
+                             "microbatches of this size — exact listwise "
+                             "gradients at O(microbatch) activation memory "
+                             "(0 = whole-batch autodiff)")
     parser.add_argument("--steps-per-epoch", type=int, default=None)
     parser.add_argument("--trfs", type=str,
                         default="RandomScale(256,288), RandomCrop(224), RandomFlip()")
@@ -83,7 +88,8 @@ def main(argv=None):
         crops_per_image=args.crops_per_image,
         weight_decay=args.weight_decay,
         optimizer=args.optimizer, freeze_bn=not args.no_freeze_bn,
-        epochs=args.epochs, batch_size=args.batch_size, trfs=args.trfs,
+        epochs=args.epochs, batch_size=args.batch_size,
+        microbatch=args.microbatch, trfs=args.trfs,
         seed=args.seed, threads=args.threads)
 
     params = None

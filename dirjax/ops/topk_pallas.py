@@ -226,7 +226,17 @@ def _blockmax(q, db, k: int, tile_rows: int, scales=None):
     return _blockmax_phase2(scores, bmax, k, tile_rows)
 
 
-def quantize_db(db_descs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@jax.jit
+def _quantize_block(block):
+    b32 = block.astype(jnp.float32)
+    m = jnp.max(jnp.abs(b32), axis=1, keepdims=True)
+    scale = jnp.maximum(m, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(b32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale.reshape(-1)
+
+
+def quantize_db(db_descs, *, block_rows: int = 65536
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row symmetric int8 quantization of a descriptor database.
 
     Returns ``(db_i8 (N, D) int8, scales (1, N) float32)`` with
@@ -234,12 +244,21 @@ def quantize_db(db_descs) -> Tuple[jnp.ndarray, jnp.ndarray]:
     descriptor components sit around 1/sqrt(D), so a global /127 scale would
     waste nearly all of the 8-bit range. Halves HBM bytes per ranking sweep
     vs bf16 (2x the streaming-QPS ceiling) and doubles the corpus per chip.
+
+    Processes ``block_rows`` rows at a time: a 1M x 2048 bf16 database
+    quantizes within ~2.5 GB of temporaries instead of an 8 GB fp32 copy.
     """
-    db = jnp.asarray(db_descs, jnp.float32)
-    m = jnp.max(jnp.abs(db), axis=1, keepdims=True)
-    scale = jnp.maximum(m, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(db / scale), -127, 127).astype(jnp.int8)
-    return q, scale.reshape(1, -1)
+    db = jnp.asarray(db_descs)
+    n = db.shape[0]
+    if n <= block_rows:
+        q, s = _quantize_block(db)
+        return q, s.reshape(1, -1)
+    qs, ss = [], []
+    for start in range(0, n, block_rows):
+        q, s = _quantize_block(db[start: start + block_rows])
+        qs.append(q)
+        ss.append(s)
+    return jnp.concatenate(qs, axis=0), jnp.concatenate(ss).reshape(1, -1)
 
 
 def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None,
@@ -268,6 +287,16 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
     if tile_rows is None:
         bytes_per_row = db.shape[1] * db.dtype.itemsize
         tile_rows = max(256, (4 * 2 ** 20 // bytes_per_row) // 256 * 256)
+        if quantized:
+            # int8 rows are so small that the 4MB-tile rule doubles
+            # tile_rows — and with it the (nq, tile_rows) fp32 score
+            # window, which at nq=256 blows the 16MB VMEM. Fit the whole
+            # working set (double-buffered db tile + score window + q)
+            # into a ~12MB budget instead.
+            q_bytes = q.shape[0] * db.shape[1] * 2
+            budget = 12 * 2 ** 20 - q_bytes
+            fit = budget // (2 * bytes_per_row + 8 * q.shape[0])
+            tile_rows = max(256, min(tile_rows, fit // 256 * 256))
     if quantized:
         q = q.astype(jnp.bfloat16)
         scales = jnp.asarray(db_scales, jnp.float32).reshape(1, -1)

@@ -36,6 +36,7 @@ from .models.rmac import apply_descriptor
 from .utils.checkpoints import Checkpoint, load_native, save_native
 
 __all__ = ["TrainConfig", "make_loss", "batch_ap_loss", "make_lr_schedule",
+           "make_two_pass_train_step",
            "make_optimizer", "make_train_step", "make_sharded_train_step",
            "fit", "save_checkpoint"]
 
@@ -65,6 +66,13 @@ class TrainConfig:
     trfs: str = "RandomScale(256,288), RandomCrop(224), RandomFlip()"
     seed: int = 0
     threads: int = 8
+    #: two-stage backprop (AP-GeM's "multistaged" trick, TPU-native):
+    #: descriptors are computed grad-free in a scan, the listwise loss is
+    #: differentiated at the descriptor boundary, then each microbatch is
+    #: recomputed under jax.vjp against its descriptor cotangent — exact
+    #: listwise gradients with O(microbatch) activation memory instead of
+    #: O(batch). 0 disables; must divide batch_size.
+    microbatch: int = 0
 
 
 def make_loss(cfg: TrainConfig):
@@ -167,6 +175,67 @@ def make_train_step(model: Model, cfg: TrainConfig, tx, dtype=jnp.float32):
             return batch_ap_loss(descs, labels, loss_fn)
 
         loss_val, grads = jax.value_and_grad(objective)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_val
+
+    return step
+
+
+def make_two_pass_train_step(model: Model, cfg: TrainConfig, tx,
+                             dtype=jnp.float32):
+    """Memory-bounded train step with EXACT listwise gradients.
+
+    The listwise AP loss couples every descriptor in the batch, so naive
+    microbatching would change its semantics and plain reverse-mode autodiff
+    stores activations for the whole batch. This step instead splits
+    backprop at the descriptor boundary (the AP-GeM recipe the reference's
+    released checkpoints were trained with):
+
+      1. forward every microbatch grad-free under ``lax.map`` — only the
+         (B, D) descriptors survive;
+      2. differentiate the loss w.r.t. descriptors (tiny);
+      3. ``lax.scan`` over microbatches: recompute the forward under
+         ``jax.vjp`` and pull the per-microbatch descriptor cotangent back
+         to parameter gradients, summing into a params-sized accumulator.
+
+    Peak activation memory is O(microbatch) regardless of batch size; the
+    extra cost is one recomputed forward (the same trade ``jax.checkpoint``
+    makes, placed at the semantically-forced boundary).
+    """
+    loss_fn = make_loss(cfg)
+    mcfg = model.config
+    m = cfg.microbatch
+    assert m > 0 and cfg.batch_size % m == 0, \
+        f"microbatch {m} must divide batch_size {cfg.batch_size}"
+
+    @jax.jit
+    def step(params, opt_state, images, labels):
+        b = images.shape[0]
+        n_micro = b // m
+        im = images.reshape((n_micro, m) + images.shape[1:])
+
+        def fwd(p, xb):
+            return apply_descriptor(p, xb, mcfg, dtype=dtype, train=True)
+
+        # (1) descriptors only; per-iteration activations die with the scan
+        descs = jax.lax.map(lambda xb: fwd(params, xb), im)
+        descs = descs.reshape(b, -1)
+
+        # (2) listwise loss + its gradient at the descriptor boundary
+        loss_val, ddescs = jax.value_and_grad(
+            lambda d: batch_ap_loss(d, labels, loss_fn))(descs)
+        ddescs = ddescs.reshape(n_micro, m, -1)
+
+        # (3) accumulate parameter grads one microbatch at a time
+        def acc(carry, xs):
+            xb, db = xs
+            _, vjp = jax.vjp(lambda p: fwd(p, xb), params)
+            return jax.tree.map(jnp.add, carry, vjp(db)[0]), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        grads, _ = jax.lax.scan(acc, zeros, (im, ddescs))
+
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_val
@@ -322,7 +391,10 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
     opt_state = tx.init(params)
     if opt_path and os.path.exists(opt_path):
         opt_state = _load_opt_state(opt_path, opt_state)
-    step = make_train_step(model, cfg, tx, dtype=dtype)
+    if cfg.microbatch:
+        step = make_two_pass_train_step(model, cfg, tx, dtype=dtype)
+    else:
+        step = make_train_step(model, cfg, tx, dtype=dtype)
 
     history = []
     for epoch in range(start_epoch, cfg.epochs):
@@ -343,9 +415,17 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
         for batch in batches:
             if len(batch.indices) < 2:
                 continue
-            labels = jnp.asarray(batch.fields["label"])
+            images, labels = batch.images, batch.fields["label"]
+            if cfg.microbatch:
+                # leftover group batches: truncate to a microbatch multiple
+                # (the balanced sampler re-draws them next epoch)
+                keep = len(images) // cfg.microbatch * cfg.microbatch
+                if keep < 2:
+                    continue
+                images, labels = images[:keep], labels[:keep]
+            labels = jnp.asarray(labels)
             params, opt_state, loss_val = step(
-                params, opt_state, jnp.asarray(batch.images), labels)
+                params, opt_state, jnp.asarray(images), labels)
             epoch_losses.append(float(loss_val))
         mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         record = {"epoch": epoch, "loss": mean_loss}
