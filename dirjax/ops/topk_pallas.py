@@ -22,7 +22,87 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rank_topk_fused", "quantize_db"]
+__all__ = ["rank_topk_fused", "quantize_db", "topk_select"]
+
+
+def _select_kernel(x_ref, vals_ref, idxs_ref, scratch, *, k):
+    """Iterative exact top-k of a VMEM-resident row block: k rounds of
+    (row-max -> first-winner index -> knock out winner). XLA's lax.top_k
+    lowers to a full sort (~3.5 ms at (256, 12800) on v5e); this selection
+    touches only VMEM and costs O(k * rows * n) VPU ops (~0.3 ms there)."""
+    scratch[...] = x_ref[...]
+    rows, n = scratch.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+    big = jnp.int32(2 ** 30)
+    neg = jnp.float32(-jnp.inf)
+    vals_ref[...] = jnp.full_like(vals_ref, neg)
+    idxs_ref[...] = jnp.full_like(idxs_ref, -1)
+
+    def body(i, _):
+        s = scratch[...]
+        best = jnp.max(s, axis=1)
+        # first-winner via min-index-where (argmax along lanes miscompiles
+        # on this Mosaic toolchain)
+        winner = s >= best[:, None]
+        arg = jnp.min(jnp.where(winner, col, big), axis=1).astype(jnp.int32)
+        write = lane == i                       # dynamic single-lane stores
+        vals_ref[...] = jnp.where(write, best[:, None], vals_ref[...])
+        idx_val = jnp.where(best > neg, arg, -1)
+        idxs_ref[...] = jnp.where(write, idx_val[:, None], idxs_ref[...])
+        scratch[...] = jnp.where(col == arg[:, None], neg, s)
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_block", "interpret"))
+def topk_select(x, k: int, row_block: Optional[int] = None,
+                interpret: Optional[bool] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact ``lax.top_k`` replacement for moderate widths (n up to ~100k).
+
+    Returns (values, indices) sorted descending, like ``lax.top_k``; ties
+    resolve to the lowest index (same as XLA's stable sort). Rows beyond the
+    k-th finite entry get value -inf / index -1. Grid-parallel over row
+    blocks; each block's columns live wholly in VMEM.
+    """
+    nq, n = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if k > n:
+        raise ValueError(f"k={k} > n={n}")
+    x = x.astype(jnp.float32)
+    if n % 128:
+        # keep every kernel shape lane-aligned (a ragged scratch lane dim
+        # HUNG the chip on this toolchain); -inf pad lanes never win
+        x = jnp.pad(x, ((0, 0), (0, 128 - n % 128)),
+                    constant_values=-jnp.inf)
+        n = x.shape[1]
+    k_pad = ((k + 127) // 128) * 128
+    if row_block is None:
+        # ~2MB input window (+ same-size scratch) per grid step
+        row_block = max(8, min(nq, (2 * 2 ** 20 // max(1, n * 4)) // 8 * 8))
+    grid = (pl.cdiv(nq, row_block),)
+    vals, idxs = pl.pallas_call(
+        functools.partial(_select_kernel, k=k),
+        grid=grid,
+        in_specs=[pl.BlockSpec((row_block, n), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((row_block, k_pad), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, k_pad), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((row_block, n), jnp.float32)],
+        interpret=interpret,
+    )(x)
+    return vals[:, :k], idxs[:, :k]
 
 
 def _kernel(q_ref, db_ref, vals_ref, idxs_ref, scores_ref, *, k, n_total,

@@ -105,3 +105,44 @@ class TestBlockMaxTopK:
         vals, idxs = _blockmax(jnp.asarray(q), jnp.asarray(db), k, 256)
         want_vals, want_idxs = jax.lax.top_k(jnp.asarray(q @ db.T), k)
         np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))
+
+
+class TestTopkSelect:
+    """Iterative exact selection kernel (the lax.top_k replacement inside
+    the two-phase ranking's selection stage)."""
+
+    @pytest.mark.parametrize("nq,n,k", [
+        (16, 1000, 10), (7, 7816, 100), (48, 12800, 100),
+        (5, 128, 128), (3, 256, 1),
+    ])
+    def test_matches_lax_topk(self, rng, nq, n, k):
+        from dirjax.ops.topk_pallas import topk_select
+
+        x = jnp.asarray(rng.normal(size=(nq, n)).astype(np.float32))
+        v, i = topk_select(x, k)
+        vr, ir = jax.lax.top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+
+    def test_ties_take_lowest_index(self):
+        from dirjax.ops.topk_pallas import topk_select
+
+        x = np.zeros((4, 256), np.float32)
+        x[:, 17] = 1.0
+        x[:, 200] = 1.0
+        _, i = topk_select(jnp.asarray(x), 3)
+        assert list(np.asarray(i)[0][:2]) == [17, 200]
+
+    def test_neg_inf_rows_yield_sentinels(self):
+        from dirjax.ops.topk_pallas import topk_select
+
+        x = np.full((2, 256), -np.inf, np.float32)
+        x[0, 3] = 1.0
+        v, i = topk_select(jnp.asarray(x), 2)
+        assert i[0, 0] == 3 and i[0, 1] == -1 and i[1, 0] == -1
+
+    def test_k_exceeds_n_raises(self):
+        from dirjax.ops.topk_pallas import topk_select
+
+        with pytest.raises(ValueError):
+            topk_select(jnp.zeros((2, 64)), 65)
