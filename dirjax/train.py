@@ -164,6 +164,33 @@ def make_optimizer(cfg: TrainConfig, params, total_steps: Optional[int] = None):
     return tx
 
 
+def _two_pass_loss_and_grads(params, images, labels, fwd, loss_fn, m: int):
+    """Loss + parameter grads via backprop split at the descriptor boundary
+    (see make_two_pass_train_step). ``m`` is the microbatch size."""
+    b = images.shape[0]
+    n_micro = b // m
+    im = images.reshape((n_micro, m) + images.shape[1:])
+
+    # (1) descriptors only; per-iteration activations die with the scan
+    descs = jax.lax.map(lambda xb: fwd(params, xb), im)
+    descs = descs.reshape(b, -1)
+
+    # (2) listwise loss + its gradient at the descriptor boundary
+    loss_val, ddescs = jax.value_and_grad(
+        lambda d: batch_ap_loss(d, labels, loss_fn))(descs)
+    ddescs = ddescs.reshape(n_micro, m, -1)
+
+    # (3) accumulate parameter grads one microbatch at a time
+    def acc(carry, xs):
+        xb, db = xs
+        _, vjp = jax.vjp(lambda p: fwd(p, xb), params)
+        return jax.tree.map(jnp.add, carry, vjp(db)[0]), None
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    grads, _ = jax.lax.scan(acc, zeros, (im, ddescs))
+    return loss_val, grads
+
+
 def make_train_step(model: Model, cfg: TrainConfig, tx, dtype=jnp.float32):
     loss_fn = make_loss(cfg)
     mcfg = model.config
@@ -209,33 +236,13 @@ def make_two_pass_train_step(model: Model, cfg: TrainConfig, tx,
     assert m > 0 and cfg.batch_size % m == 0, \
         f"microbatch {m} must divide batch_size {cfg.batch_size}"
 
+    def fwd(p, xb):
+        return apply_descriptor(p, xb, mcfg, dtype=dtype, train=True)
+
     @jax.jit
     def step(params, opt_state, images, labels):
-        b = images.shape[0]
-        n_micro = b // m
-        im = images.reshape((n_micro, m) + images.shape[1:])
-
-        def fwd(p, xb):
-            return apply_descriptor(p, xb, mcfg, dtype=dtype, train=True)
-
-        # (1) descriptors only; per-iteration activations die with the scan
-        descs = jax.lax.map(lambda xb: fwd(params, xb), im)
-        descs = descs.reshape(b, -1)
-
-        # (2) listwise loss + its gradient at the descriptor boundary
-        loss_val, ddescs = jax.value_and_grad(
-            lambda d: batch_ap_loss(d, labels, loss_fn))(descs)
-        ddescs = ddescs.reshape(n_micro, m, -1)
-
-        # (3) accumulate parameter grads one microbatch at a time
-        def acc(carry, xs):
-            xb, db = xs
-            _, vjp = jax.vjp(lambda p: fwd(p, xb), params)
-            return jax.tree.map(jnp.add, carry, vjp(db)[0]), None
-
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        grads, _ = jax.lax.scan(acc, zeros, (im, ddescs))
-
+        loss_val, grads = _two_pass_loss_and_grads(params, images, labels,
+                                                   fwd, loss_fn, m)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_val
@@ -247,7 +254,11 @@ def make_sharded_train_step(model: Model, cfg: TrainConfig, tx, mesh,
                             dtype=jnp.float32):
     """Train step with explicit mesh shardings: DP over "data" (batch),
     TP over "db" (the FC projection's output features + descriptor dim).
-    GSPMD inserts the all-gather/psum collectives over ICI."""
+    GSPMD inserts the all-gather/psum collectives over ICI.
+
+    ``cfg.microbatch`` composes with the shardings: the two-pass gradient
+    path scans over microbatches whose rows keep their "data" sharding, so
+    each chip holds activations for microbatch/n_data images at a time."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     loss_fn = make_loss(cfg)
@@ -280,11 +291,19 @@ def make_sharded_train_step(model: Model, cfg: TrainConfig, tx, mesh,
 
     @jax.jit
     def step(params, opt_state, images, labels):
-        def objective(p):
-            descs = apply_descriptor(p, images, mcfg, dtype=dtype, train=True)
-            return batch_ap_loss(descs, labels, loss_fn)
+        if cfg.microbatch:
+            loss_val, grads = _two_pass_loss_and_grads(
+                params, images, labels,
+                lambda p, xb: apply_descriptor(p, xb, mcfg, dtype=dtype,
+                                               train=True),
+                loss_fn, cfg.microbatch)
+        else:
+            def objective(p):
+                descs = apply_descriptor(p, images, mcfg, dtype=dtype,
+                                         train=True)
+                return batch_ap_loss(descs, labels, loss_fn)
 
-        loss_val, grads = jax.value_and_grad(objective)(params)
+            loss_val, grads = jax.value_and_grad(objective)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_val

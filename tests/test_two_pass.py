@@ -78,3 +78,26 @@ def test_fit_truncates_leftover_batches(tmp_path):
                       trfs="Scale(32), CenterCrop(32)")
     model, params, history = fit(ds, cfg, steps_per_epoch=3)
     assert len(history) == 1 and np.isfinite(history[0]["loss"])
+
+
+def test_sharded_two_pass_matches_dense():
+    """cfg.microbatch composed with the DP+TP mesh shardings: same update as
+    the sharded whole-batch step on the 8-virtual-device mesh."""
+    from dirjax.parallel import make_mesh
+    from dirjax.train import make_sharded_train_step
+
+    mesh = make_mesh(data=4, db=2)
+    cfg_d, model, params, tx, images, labels = _setup(0, optimizer="sgd")
+    cfg_m = TrainConfig(**{**cfg_d.__dict__, "microbatch": 4})
+
+    outs = []
+    for cfg in (cfg_d, cfg_m):
+        step, shard_args = make_sharded_train_step(model, cfg, tx, mesh)
+        sp, so, si, sl = shard_args(params, tx.init(params), images, labels)
+        p, _, loss = step(sp, so, si, sl)
+        outs.append((p, float(loss)))
+    (p1, l1), (p2, l2) = outs
+    assert np.isclose(l1, l2, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
