@@ -128,19 +128,24 @@ def bench_descriptor_throughput(arch: str, batch: int, hw, n_iter: int = 16,
 
 
 def bench_ranking_qps(n_db: int = 1_000_000, dim: int = 2048, nq: int = 64,
-                      k: int = 100, n_iter: int = 10):
+                      k: int = 100, n_iter: int = 10, int8: bool = False):
     """Eager serving pattern: successive query batches dispatched
     back-to-back (async), one sync at the end. NOT wrapped in an outer jit —
     the two-phase ranking kernel relies on its internal jit boundaries
-    (fusing them measured 2x slower)."""
-    from dirjax.ops.topk_pallas import rank_topk_fused
+    (fusing them measured 2x slower). ``int8=True`` measures the quantized-
+    database path (half the HBM stream)."""
+    from dirjax.ops.topk_pallas import quantize_db, rank_topk_fused
 
     db = jax.random.normal(jax.random.PRNGKey(2), (n_db, dim), jnp.bfloat16)
+    scales = None
+    if int8:
+        db, scales = quantize_db(db)
     qs = [jax.random.normal(jax.random.PRNGKey(10 + j), (nq, dim), jnp.bfloat16)
           for j in range(n_iter)]
 
     def rank(q_):
-        vals, idxs = rank_topk_fused(q_, db, k, use_pallas=True)
+        vals, idxs = rank_topk_fused(q_, db, k, use_pallas=True,
+                                     db_scales=scales)
         return vals
 
     _sync(rank(qs[0]))  # compile + warm
@@ -196,6 +201,9 @@ def main():
         # 256-query batches amortize the HBM stream over more MXU work
         extras["ranking_qps_1M_topk100_nq256"] = round(
             bench_ranking_qps(nq=256, n_iter=6), 1)
+        # int8-quantized database: half the stream, 2x corpus per chip
+        extras["ranking_qps_1M_topk100_int8"] = round(
+            bench_ranking_qps(int8=True), 1)
     except Exception as e:
         extras["ranking_error"] = str(e)[:120]
 

@@ -66,6 +66,13 @@ def topk_select(x, k: int, row_block: Optional[int] = None,
     resolve to the lowest index (same as XLA's stable sort). Rows beyond the
     k-th finite entry get value -inf / index -1. Grid-parallel over row
     blocks; each block's columns live wholly in VMEM.
+
+    .. warning:: EXPERIMENTAL — exact in interpret mode (tested), but on
+       the current axon/Mosaic toolchain compiling this kernel WEDGES the
+       TPU (PERF_NOTES.md hazard log; reproduces even at tiny aligned
+       shapes, so it is not a tiling-rule violation). Do not call it on
+       the real chip until the toolchain moves; the ranking phase 2
+       deliberately still uses ``lax.top_k``.
     """
     nq, n = x.shape
     if interpret is None:
