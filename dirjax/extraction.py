@@ -111,6 +111,16 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
         import tqdm
 
         batches = tqdm.tqdm(batches, desc=desc)
+    pending = None  # (indices, device descriptors) not yet pulled to host
+
+    def flush(pending_):
+        nonlocal out
+        idxs, dev = pending_
+        descs = np.asarray(dev)             # blocks until the device is done
+        if out is None:
+            out = np.zeros((n, descs.shape[1]), np.float32)
+        out[idxs] = descs
+
     for batch in batches:
         images = batch.images
         if flip is not None:
@@ -123,10 +133,13 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
                         # with the validity mask of the padded canvas
                         w = int(batch.mask[r][0].sum())
                         images[r, :, :w] = images[r, :, w - 1::-1]
-        descs = np.asarray(extractor(images, batch.mask))
-        if out is None:
-            out = np.zeros((n, descs.shape[1]), np.float32)
-        out[batch.indices] = descs
+        # one-deep pipeline: dispatch this batch (jax dispatch is async),
+        # THEN pull the previous batch's result — the device computes batch
+        # i while the host decodes/uploads batch i+1
+        dev = extractor(images, batch.mask)
+        if pending is not None:
+            flush(pending)
+        pending = (batch.indices, dev)
         if ret_imgs:
             for r, idx in enumerate(batch.indices):
                 if batch.mask is None:
@@ -136,6 +149,8 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
                     w = int(batch.mask[r, 0, :].sum())
                     imgs_out[idx] = np.asarray(images[r, :h, :w])
         done += len(batch.indices)
+    if pending is not None:
+        flush(pending)
     assert done == n, f"extracted {done}/{n} images"
     if out is None:  # empty dataset: keep the (0, D) contract
         out = np.zeros((0, extractor.model.config.out_dim), np.float32)
