@@ -15,6 +15,8 @@ from .qe import (  # noqa: F401
     expand_descriptors,
     expand_queries,
     expand_queries_chunked,
+    expand_queries_quantized,
 )
 from .ranking import compute_scores, compute_scores_chunked, rank_topk  # noqa: F401
+from .topk_pallas import quantize_db, rank_topk_fused  # noqa: F401
 from .whitening import PCAParams, apply_whitening, fit_pca, whitening_matrix  # noqa: F401

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["shard_database", "sharded_topk", "sharded_scores", "sharded_aqe"]
+__all__ = ["shard_database", "shard_database_quantized", "sharded_topk",
+           "sharded_scores", "sharded_aqe"]
 
 
 def shard_database(db, mesh: Mesh, axis: str = "db"):
@@ -35,31 +36,72 @@ def shard_database(db, mesh: Mesh, axis: str = "db"):
     return jax.device_put(db, NamedSharding(mesh, P(axis, None))), n
 
 
+def shard_database_quantized(db, mesh: Mesh, axis: str = "db"):
+    """int8-quantize a descriptor matrix (:func:`dirjax.ops.quantize_db`)
+    and place rows + per-row scales sharded over ``axis``: an 8-chip mesh
+    holds 8x the corpus at a quarter the bf16 bytes per chip.
+
+    Returns ``(db_i8_sharded, scales_sharded (1, Nd_pad), n_valid)``; pad
+    rows carry scale 0, so they dequantize to 0 and never win."""
+    from ..ops.topk_pallas import quantize_db
+
+    db_i8, scales = quantize_db(db)
+    n = db_i8.shape[0]
+    size = mesh.shape[axis]
+    pad = (-n) % size
+    if pad:
+        db_i8 = jnp.concatenate(
+            [db_i8, jnp.zeros((pad, db_i8.shape[1]), jnp.int8)])
+        scales = jnp.concatenate(
+            [scales, jnp.zeros((1, pad), jnp.float32)], axis=1)
+    db_i8 = jax.device_put(db_i8, NamedSharding(mesh, P(axis, None)))
+    scales = jax.device_put(scales, NamedSharding(mesh, P(None, axis)))
+    return db_i8, scales, n
+
+
 def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
-                 axis: str = "db"):
+                 axis: str = "db", db_scales=None):
     """(values, indices) of the global top-k per query.
 
     Per-shard top-k on each device, then an all-gather of the (nq, k)
     candidates over ICI and a final tiny top-k — O(devices*k) merge traffic
-    instead of O(Nd)."""
+    instead of O(Nd). With an int8 ``db_sharded`` pass the matching
+    ``db_scales`` from :func:`shard_database_quantized`: each shard widens
+    its rows to bf16 (XLA fuses the convert into the dot) and rescales its
+    score columns."""
+    quantized = db_sharded.dtype == jnp.int8
+    if quantized:
+        assert db_scales is not None, \
+            "int8 sharded database requires db_scales"
+        q = jnp.asarray(q).astype(jnp.bfloat16)
+
+    def local_scores(q_rep, db_local, scales_local):
+        db_l = db_local.astype(jnp.bfloat16) if quantized else db_local
+        scores = jnp.matmul(q_rep.astype(db_l.dtype), db_l.T,
+                            preferred_element_type=jnp.float32)
+        if quantized:
+            scores = scores * scales_local
+        return scores
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(axis, None)),
+        in_specs=(P(), P(axis, None), P(None, axis)),
         out_specs=(P(None, axis), P(None, axis)),
         check_vma=False)
-    def local_topk(q_rep, db_local):
-        scores = jnp.matmul(q_rep, db_local.T,
-                            preferred_element_type=jnp.float32)
+    def local_topk(q_rep, db_local, scales_local):
+        scores = local_scores(q_rep, db_local, scales_local)
         rows = db_local.shape[0]
         offset = jax.lax.axis_index(axis) * rows
-        nq = scores.shape[0]
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
         vals, idx = jax.lax.top_k(scores, min(k, rows))
         return vals, idx + offset
 
-    vals, idxs = local_topk(q, db_sharded)     # (nq, ndev*k)
+    if db_scales is None:
+        db_scales = jax.device_put(
+            jnp.zeros((1, db_sharded.shape[0]), jnp.float32),
+            NamedSharding(mesh, P(None, axis)))
+    vals, idxs = local_topk(q, db_sharded, db_scales)   # (nq, ndev*k)
     merged_vals, pos = jax.lax.top_k(vals, k)
     merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
     return merged_vals, merged_idxs
@@ -83,12 +125,19 @@ def sharded_scores(q, db_sharded, mesh: Mesh, n_valid: int, axis: str = "db"):
 
 
 def sharded_aqe(q, db_sharded, mesh: Mesh, n_valid: int, alpha: float = 3.0,
-                k: int = 10, axis: str = "db"):
+                k: int = 10, axis: str = "db", db_scales=None):
     """Alpha-query-expansion against a sharded database: top-k neighbors
     found shard-wise, neighbor rows gathered by global index, re-aggregated
-    and re-normalized (semantics of reference test_dir.py:24-44)."""
-    vals, idxs = sharded_topk(q, db_sharded, k, mesh, n_valid, axis)
+    and re-normalized (semantics of reference test_dir.py:24-44). Supports
+    an int8 database (pass ``db_scales``): only the k gathered neighbor
+    rows per query are dequantized."""
+    vals, idxs = sharded_topk(q, db_sharded, k, mesh, n_valid, axis,
+                              db_scales=db_scales)
     neighbors = jnp.take(db_sharded, idxs, axis=0)   # gathers across shards
+    if db_sharded.dtype == jnp.int8:
+        neighbors = neighbors.astype(jnp.float32) * \
+            jnp.take(db_scales.reshape(-1), idxs)[:, :, None]
+        q = jnp.asarray(q, jnp.float32)
     if float(alpha).is_integer():
         w = jnp.sign(vals) ** int(alpha) * jnp.power(jnp.abs(vals), alpha)
     else:

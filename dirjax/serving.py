@@ -33,8 +33,8 @@ class RetrievalIndex:
     ``dtype=jnp.int8`` stores the database 8-bit quantized (per-row scales,
     :func:`dirjax.ops.topk_pallas.quantize_db`): half the HBM of bf16 —
     twice the corpus per chip and twice the streaming-QPS ceiling — at
-    ~8-bit ranking noise. int8 is single-chip only (pass a bf16/fp32 dtype
-    with ``mesh=`` for sharded corpora).
+    ~8-bit ranking noise. Composes with ``mesh=`` (rows + scales sharded
+    over the "db" axis) for multi-chip corpora.
     """
 
     def __init__(self, descriptors, keys: Optional[Sequence[str]] = None,
@@ -49,11 +49,13 @@ class RetrievalIndex:
         self.mesh = mesh
         self.dtype = dtype
         self._scales = None
-        if dtype == jnp.int8:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "int8 index is single-chip; use bf16 for mesh sharding")
+        if dtype == jnp.int8 and mesh is None:
             self._db, self._scales = quantize_db(descriptors)
+        elif dtype == jnp.int8:
+            from .parallel.ranking import shard_database_quantized
+
+            self._db, self._scales, self._n_valid = shard_database_quantized(
+                jnp.asarray(descriptors), mesh)
         elif mesh is None:
             self._db = jnp.asarray(descriptors, dtype)
         else:
@@ -73,31 +75,37 @@ class RetrievalIndex:
             q = q[None, :]  # single query convenience
         assert q.shape[1] == self.dim, \
             f"query dim {q.shape[1]} != index dim {self.dim}"
-        if self._scales is not None:  # int8 index
-            q = jnp.asarray(q, jnp.float32)
-            if aqe:
-                from .ops.qe import expand_queries_quantized
-
-                q = expand_queries_quantized(q, self._db, self._scales,
-                                             alpha=aqe["alpha"], k=aqe["k"])
-            vals, idxs = rank_topk_fused(q, self._db, k,
-                                         db_scales=self._scales)
-            return np.asarray(vals), np.asarray(idxs)
-        q = jnp.asarray(q, self.dtype)
         if self.mesh is None:
+            if self._scales is not None:  # int8, single chip
+                q = jnp.asarray(q, jnp.float32)
+                if aqe:
+                    from .ops.qe import expand_queries_quantized
+
+                    q = expand_queries_quantized(q, self._db, self._scales,
+                                                 alpha=aqe["alpha"],
+                                                 k=aqe["k"])
+                vals, idxs = rank_topk_fused(q, self._db, k,
+                                             db_scales=self._scales)
+                return np.asarray(vals), np.asarray(idxs)
+            q = jnp.asarray(q, self.dtype)
             if aqe:
                 # chunked: never materializes the (Nq, Nd) similarity matrix
                 q = expand_queries_chunked(q, self._db, alpha=aqe["alpha"],
                                            k=aqe["k"]).astype(self.dtype)
             vals, idxs = rank_topk_fused(q, self._db, k)
-        else:
-            from .parallel.ranking import sharded_aqe, sharded_topk
+            return np.asarray(vals), np.asarray(idxs)
 
-            if aqe:
-                q = sharded_aqe(q.astype(jnp.float32), self._db, self.mesh,
-                                self._n_valid, alpha=aqe["alpha"],
-                                k=aqe["k"]).astype(self.dtype)
-            vals, idxs = sharded_topk(q, self._db, k, self.mesh, self._n_valid)
+        from .parallel.ranking import sharded_aqe, sharded_topk
+
+        q = jnp.asarray(q, jnp.float32)
+        if aqe:
+            q = sharded_aqe(q, self._db, self.mesh, self._n_valid,
+                            alpha=aqe["alpha"], k=aqe["k"],
+                            db_scales=self._scales)
+        if self._scales is None:
+            q = q.astype(self.dtype)
+        vals, idxs = sharded_topk(q, self._db, k, self.mesh, self._n_valid,
+                                  db_scales=self._scales)
         return np.asarray(vals), np.asarray(idxs)
 
     def lookup(self, indices) -> list:

@@ -126,9 +126,20 @@ class TestRetrievalIndexInt8:
             assert np.all(np.abs(data["descriptors"] - db) <= step / 2 + 1e-7)
         assert back.lookup([[0, 5]]) == [["img0", "img5"]]
 
-    def test_int8_mesh_rejected(self):
+    def test_int8_mesh_matches_single_chip(self):
+        """int8 + mesh: rows and scales sharded over 'db'; results must
+        match the single-chip int8 index (same quantized values)."""
         from dirjax.parallel import make_mesh
 
-        with pytest.raises(NotImplementedError):
-            RetrievalIndex(_normed(64, 32), mesh=make_mesh(db=2),
-                           dtype=jnp.int8)
+        db = _normed(67, 64)  # ragged: forces pad rows on the 4-way shard
+        q = _normed(5, 64)
+        mesh = make_mesh(db=4)
+        idx_m = RetrievalIndex(db, mesh=mesh, dtype=jnp.int8)
+        idx_1 = RetrievalIndex(db, dtype=jnp.int8)
+        vm, im = idx_m.search(q, k=7)
+        v1, i1 = idx_1.search(q, k=7)
+        assert np.array_equal(im, i1)
+        np.testing.assert_allclose(vm, v1, atol=2e-2)
+        # AQE path composes with the sharded int8 database too
+        va, ia = idx_m.search(q, k=3, aqe={"k": 4, "alpha": 3.0})
+        assert va.shape == (5, 3) and np.all((0 <= ia) & (ia < 67))
