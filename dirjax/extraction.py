@@ -77,6 +77,25 @@ class FeatureExtractor:
                             mask is not None)
         return out
 
+    def call_adaptive(self, images: np.ndarray,
+                      mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Like ``__call__`` but survives device OOM: on RESOURCE_EXHAUSTED
+        the batch is split in half recursively (down to single images), so
+        oversized batches/resolutions degrade to smaller dispatches instead
+        of killing a long extraction run. Returns a host array."""
+        try:
+            return np.asarray(self(images, mask))
+        except Exception as e:  # jaxlib.XlaRuntimeError has no stable path
+            if "RESOURCE_EXHAUSTED" not in str(e) or len(images) <= 1:
+                raise
+        half = len(images) // 2
+        return np.concatenate([
+            self.call_adaptive(images[:half],
+                               mask[:half] if mask is not None else None),
+            self.call_adaptive(images[half:],
+                               mask[half:] if mask is not None else None),
+        ])
+
 
 def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor,
                            *, flip: Optional[Sequence[int]] = None,
@@ -111,12 +130,17 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
         import tqdm
 
         batches = tqdm.tqdm(batches, desc=desc)
-    pending = None  # (indices, device descriptors) not yet pulled to host
+    pending = None  # (indices, device descriptors, host batch) in flight
 
     def flush(pending_):
         nonlocal out
-        idxs, dev = pending_
-        descs = np.asarray(dev)             # blocks until the device is done
+        idxs, dev, imgs_, mask_ = pending_
+        try:
+            descs = np.asarray(dev)         # blocks until the device is done
+        except Exception as e:  # device OOM: retry the batch in halves
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            descs = extractor.call_adaptive(imgs_, mask_)
         if out is None:
             out = np.zeros((n, descs.shape[1]), np.float32)
         out[idxs] = descs
@@ -139,7 +163,7 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
         dev = extractor(images, batch.mask)
         if pending is not None:
             flush(pending)
-        pending = (batch.indices, dev)
+        pending = (batch.indices, dev, images, batch.mask)
         if ret_imgs:
             for r, idx in enumerate(batch.indices):
                 if batch.mask is None:

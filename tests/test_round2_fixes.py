@@ -254,3 +254,44 @@ def test_resume_keeps_best(tmp_path):
                        epochs=2, image_size=48, trfs="Scale(48)")
     fit(ds, cfg2, out_dir=out, steps_per_epoch=1, resume=path)
     assert open(path + ".best", "rb").read() == best_bytes
+
+
+class TestAdaptiveOOM:
+    """Device-OOM resilience: extraction splits batches instead of dying."""
+
+    def test_call_adaptive_splits_on_oom(self, monkeypatch):
+        from dirjax.extraction import FeatureExtractor
+        from dirjax.models import create_model
+
+        model = create_model("resnet18_rmac", out_dim=16)
+        ex = FeatureExtractor(model, model.init(jax.random.PRNGKey(0)))
+        real = FeatureExtractor.__call__
+        calls = []
+
+        def flaky(self_, images, mask=None):
+            calls.append(len(images))
+            if len(images) in (8, 4):
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory "
+                                   "allocating 9999999 bytes")
+            return real(self_, images, mask)
+
+        monkeypatch.setattr(FeatureExtractor, "__call__", flaky)
+        imgs = np.random.default_rng(0).normal(
+            size=(8, 32, 32, 3)).astype(np.float32)
+        descs = ex.call_adaptive(imgs)
+        assert descs.shape == (8, 16)
+        # split path: 8 fails, each 4 fails, four 2s succeed
+        assert calls == [8, 4, 2, 2, 4, 2, 2]
+        monkeypatch.setattr(FeatureExtractor, "__call__", real)
+        whole = np.concatenate([ex.call_adaptive(imgs[i:i + 2])
+                                for i in range(0, 8, 2)])
+        np.testing.assert_allclose(descs, whole, rtol=1e-5, atol=1e-5)
+
+    def test_non_oom_errors_propagate(self):
+        from dirjax.extraction import FeatureExtractor
+        from dirjax.models import create_model
+
+        model = create_model("resnet18_rmac", out_dim=16)
+        ex = FeatureExtractor(model, model.init(jax.random.PRNGKey(0)))
+        with pytest.raises(Exception):
+            ex.call_adaptive(np.zeros((2, 3), np.float32))  # bad rank
