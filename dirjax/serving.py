@@ -64,6 +64,11 @@ class RetrievalIndex:
             self._db, self._n_valid = shard_database(
                 jnp.asarray(descriptors, dtype), mesh)
 
+    #: query-count buckets: under jit every distinct nq is a fresh compile
+    #: (minutes on a cold cache), so search pads the batch up to the next
+    #: bucket with zero queries and slices the answer back down
+    NQ_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256)
+
     # --- search ---------------------------------------------------------
     def search(self, queries, k: int = 10, *, aqe: Optional[dict] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
@@ -75,6 +80,16 @@ class RetrievalIndex:
             q = q[None, :]  # single query convenience
         assert q.shape[1] == self.dim, \
             f"query dim {q.shape[1]} != index dim {self.dim}"
+        nq = len(q)
+        bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
+        if bucket != nq:
+            q = np.concatenate(
+                [q, np.zeros((bucket - nq, self.dim), q.dtype)])
+        vals, idxs = self._search_padded(q, k, aqe)
+        return vals[:nq], idxs[:nq]
+
+    def _search_padded(self, q, k: int, aqe: Optional[dict]
+                       ) -> Tuple[np.ndarray, np.ndarray]:
         if self.mesh is None:
             if self._scales is not None:  # int8, single chip
                 q = jnp.asarray(q, jnp.float32)
@@ -112,6 +127,45 @@ class RetrievalIndex:
         """Map result indices back to image keys."""
         assert self.keys is not None, "index was built without keys"
         return [[self.keys[j] for j in row] for row in np.asarray(indices)]
+
+    def add(self, descriptors, keys: Optional[Sequence[str]] = None) -> None:
+        """Append rows to the index (keys too if the index carries keys).
+
+        Index growth changes the database shape, so the next ``search``
+        per (nq, k) recompiles — batch additions rather than inserting one
+        row at a time. int8 indexes quantize the new rows with their own
+        per-row scales (existing rows are untouched); mesh-sharded indexes
+        re-shard, which moves the whole database once per add."""
+        new = np.asarray(descriptors)
+        assert new.ndim == 2 and new.shape[1] == self.dim, new.shape
+        if self.keys is not None:
+            assert keys is not None and len(keys) == len(new), \
+                "index carries keys: add() needs one key per new row"
+            self.keys.extend(keys)
+        if self.mesh is None and self._scales is not None:   # int8, 1 chip
+            q8, s8 = quantize_db(new)
+            self._db = jnp.concatenate([self._db, q8])
+            self._scales = jnp.concatenate([self._scales, s8], axis=1)
+        elif self.mesh is None:
+            self._db = jnp.concatenate(
+                [self._db, jnp.asarray(new, self.dtype)])
+        else:
+            merged = np.concatenate(
+                [np.asarray(self._db[: self.n]), new]) \
+                if self._scales is None else np.concatenate(
+                    [np.asarray(self._db[: self.n], np.float32)
+                     * np.asarray(self._scales).T[: self.n], new])
+            if self._scales is None:
+                from .parallel.ranking import shard_database
+
+                self._db, self._n_valid = shard_database(
+                    jnp.asarray(merged, self.dtype), self.mesh)
+            else:
+                from .parallel.ranking import shard_database_quantized
+
+                self._db, self._scales, self._n_valid = \
+                    shard_database_quantized(jnp.asarray(merged), self.mesh)
+        self.n += len(new)
 
     # --- persistence ------------------------------------------------------
     def save(self, path: str) -> None:

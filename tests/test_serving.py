@@ -85,3 +85,49 @@ class TestFusedHeadWiring:
         plain = np.asarray(FeatureExtractor(model, params, fused_head=False)(x))
         fused = np.asarray(FeatureExtractor(model, params, fused_head=True)(x))
         np.testing.assert_allclose(plain, fused, rtol=1e-4, atol=1e-5)
+
+
+class TestServingGrowthAndBuckets:
+    def _db(self, n=100, d=32, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def test_query_count_bucketing_pads_and_slices(self):
+        db = self._db()
+        idx = RetrievalIndex(db)
+        q = db[:3]
+        v3, i3 = idx.search(q, k=5)
+        assert v3.shape == (3, 5)
+        # identical to an exact-bucket search of the same queries
+        v4, i4 = idx.search(np.concatenate([q, db[3:4]]), k=5)
+        np.testing.assert_array_equal(i3, i4[:3])
+        np.testing.assert_allclose(v3, v4[:3], rtol=1e-6)
+        assert np.array_equal(i3[:, 0], np.arange(3))
+
+    @pytest.mark.parametrize("mode", ["fp32", "int8", "mesh", "mesh_int8"])
+    def test_add_grows_index(self, mode):
+        import jax.numpy as jnp
+
+        from dirjax.parallel import make_mesh
+
+        db = self._db(60)
+        extra = self._db(17, seed=9)
+        kw = {}
+        if "int8" in mode:
+            kw["dtype"] = jnp.int8
+        if "mesh" in mode:
+            kw["mesh"] = make_mesh(db=4)
+        idx = RetrievalIndex(db, keys=[f"a{j}" for j in range(60)], **kw)
+        idx.add(extra, keys=[f"b{j}" for j in range(17)])
+        assert idx.n == 77
+        v, i = idx.search(extra[:5], k=1)
+        # each added row retrieves itself (quantization can't break top-1
+        # self-similarity on random descriptors)
+        np.testing.assert_array_equal(i[:, 0], 60 + np.arange(5))
+        assert idx.lookup(i[:1])[0] == ["b0"]
+
+    def test_add_requires_keys_when_keyed(self):
+        idx = RetrievalIndex(self._db(), keys=[str(j) for j in range(100)])
+        with pytest.raises(AssertionError):
+            idx.add(self._db(3, seed=5))
