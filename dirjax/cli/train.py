@@ -22,8 +22,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--arch", type=str, default="resnet101_rmac")
     parser.add_argument("--out-dim", type=int, default=2048)
     parser.add_argument("--loss", type=str, default="ap",
-                        choices=("ap", "tap", "taps"))
+                        choices=("ap", "tap", "taps", "triplet",
+                                 "tripletlogexp"),
+                        help="ap family = listwise; triplet family = "
+                             "batch-hard mined (the reference's TL models)")
     parser.add_argument("--nq", type=int, default=25, help="AP quantizer bins")
+    parser.add_argument("--margin", type=float, default=1.0,
+                        help="triplet margin")
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--lr-schedule", type=str, default="constant",
                         choices=("constant", "cosine", "step"))
@@ -82,6 +87,7 @@ def main(argv=None):
 
     cfg = TrainConfig(
         arch=args.arch, out_dim=args.out_dim, loss=args.loss, nq=args.nq,
+        margin=args.margin,
         learning_rate=args.lr, lr_schedule=args.lr_schedule,
         lr_decay=args.lr_decay, lr_decay_steps=args.lr_decay_steps,
         warmup_steps=args.warmup_steps,

@@ -168,6 +168,10 @@ class TripletMarginLoss:
             d_n = jnp.minimum(d_n, d_s)
         return jnp.mean(jnp.clip(d_p - d_n + self.margin, 0.0))
 
+    def from_distances(self, d_p, d_n):
+        """Per-anchor loss from already-mined distances (batch-hard path)."""
+        return jnp.clip(d_p - d_n + self.margin, 0.0)
+
     def eval_func(self, dp, dn):
         return max(0.0, dp - dn + self.margin)
 
@@ -188,6 +192,10 @@ class TripletLogExpLoss:
             d_s = _pairwise_distance(positive, negative, self.p, self.eps)
             d_n = jnp.minimum(d_n, d_s)
         return jnp.mean(jnp.log1p(jnp.exp(d_p - d_n)))
+
+    def from_distances(self, d_p, d_n):
+        """Per-anchor loss from already-mined distances (batch-hard path)."""
+        return jnp.log1p(jnp.exp(d_p - d_n))
 
     def eval_func(self, dp, dn):
         import numpy as np

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Optional
 
 import jax
@@ -36,7 +37,8 @@ from .models.rmac import apply_descriptor
 from .utils.checkpoints import Checkpoint, load_native, save_native
 
 __all__ = ["TrainConfig", "make_loss", "batch_ap_loss", "make_lr_schedule",
-           "make_two_pass_train_step",
+           "make_two_pass_train_step", "make_batch_objective",
+           "batch_hard_triplet_loss",
            "make_optimizer", "make_train_step", "make_sharded_train_step",
            "fit", "save_checkpoint"]
 
@@ -45,8 +47,9 @@ __all__ = ["TrainConfig", "make_loss", "batch_ap_loss", "make_lr_schedule",
 class TrainConfig:
     arch: str = "resnet101_rmac"
     out_dim: int = 2048
-    loss: str = "ap"            # 'ap' | 'tap' | 'taps'
+    loss: str = "ap"        # 'ap' | 'tap' | 'taps' | 'triplet' | 'tripletlogexp'
     nq: int = 25
+    margin: float = 1.0         # triplet margin (torch default)
     learning_rate: float = 1e-4
     lr_schedule: str = "constant"   # 'constant' | 'cosine' | 'step'
     lr_decay: float = 0.1           # step-schedule decay factor
@@ -83,7 +86,21 @@ def make_loss(cfg: TrainConfig):
         return losses.TAPLoss(nq=cfg.nq, min=-1.0, max=1.0)
     if cfg.loss == "taps":
         return losses.TAPLoss(nq=cfg.nq, min=-1.0, max=1.0, simplified=True)
+    if cfg.loss == "triplet":
+        return losses.TripletMarginLoss(margin=cfg.margin)
+    if cfg.loss == "tripletlogexp":
+        return losses.TripletLogExpLoss()
     raise ValueError(f"unknown loss {cfg.loss}")
+
+
+def make_batch_objective(cfg: TrainConfig):
+    """(descs, labels) -> scalar loss: listwise AP over in-batch scores for
+    the AP family, batch-hard mined triplets for the TL family (the
+    reference's Resnet101-TL-* checkpoints are triplet-trained)."""
+    loss_fn = make_loss(cfg)
+    if cfg.loss in ("triplet", "tripletlogexp"):
+        return partial(batch_hard_triplet_loss, loss_fn=loss_fn)
+    return partial(batch_ap_loss, loss_fn=loss_fn)
 
 
 def _offdiag_indices(n: int) -> np.ndarray:
@@ -106,6 +123,28 @@ def batch_ap_loss(descs, labels, loss_fn):
     has_pos = (match_od.sum(axis=1) > 0).astype(jnp.float32)
     qw = has_pos / jnp.maximum(has_pos.sum(), 1.0) * n
     return loss_fn(jnp.clip(scores_od, -1.0, 1.0), match_od, qw=qw)
+
+
+def batch_hard_triplet_loss(descs, labels, loss_fn):
+    """Batch-hard triplet mining: each anchor pairs with its FARTHEST
+    same-label row and NEAREST different-label row (the standard in-batch
+    mining for the reference's TL checkpoints); anchors lacking a positive
+    or a negative are weighted out of the mean."""
+    n = descs.shape[0]
+    # the loss classes' own distance (|a - b + eps|^p) for exact parity
+    d = losses._pairwise_distance(descs[:, None, :], descs[None, :, :],
+                                  loss_fn.p, loss_fn.eps)       # (n, n)
+    same = labels[:, None] == labels[None, :]
+    eye = jnp.eye(n, dtype=bool)
+    pos_mask = same & ~eye
+    neg_mask = ~same
+    d_p = jnp.max(jnp.where(pos_mask, d, -jnp.inf), axis=1)
+    d_n = jnp.min(jnp.where(neg_mask, d, jnp.inf), axis=1)
+    valid = jnp.isfinite(d_p) & jnp.isfinite(d_n)
+    per = loss_fn.from_distances(jnp.where(valid, d_p, 0.0),
+                                 jnp.where(valid, d_n, 1.0))
+    per = jnp.where(valid, per, 0.0)
+    return jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1)
 
 
 def _bn_labels(params):
@@ -164,7 +203,7 @@ def make_optimizer(cfg: TrainConfig, params, total_steps: Optional[int] = None):
     return tx
 
 
-def _two_pass_loss_and_grads(params, images, labels, fwd, loss_fn, m: int):
+def _two_pass_loss_and_grads(params, images, labels, fwd, objective, m: int):
     """Loss + parameter grads via backprop split at the descriptor boundary
     (see make_two_pass_train_step). ``m`` is the microbatch size."""
     b = images.shape[0]
@@ -177,7 +216,7 @@ def _two_pass_loss_and_grads(params, images, labels, fwd, loss_fn, m: int):
 
     # (2) listwise loss + its gradient at the descriptor boundary
     loss_val, ddescs = jax.value_and_grad(
-        lambda d: batch_ap_loss(d, labels, loss_fn))(descs)
+        lambda d: objective(d, labels))(descs)
     ddescs = ddescs.reshape(n_micro, m, -1)
 
     # (3) accumulate parameter grads one microbatch at a time
@@ -192,14 +231,14 @@ def _two_pass_loss_and_grads(params, images, labels, fwd, loss_fn, m: int):
 
 
 def make_train_step(model: Model, cfg: TrainConfig, tx, dtype=jnp.float32):
-    loss_fn = make_loss(cfg)
+    batch_obj = make_batch_objective(cfg)
     mcfg = model.config
 
     @jax.jit
     def step(params, opt_state, images, labels):
         def objective(p):
             descs = apply_descriptor(p, images, mcfg, dtype=dtype, train=True)
-            return batch_ap_loss(descs, labels, loss_fn)
+            return batch_obj(descs, labels)
 
         loss_val, grads = jax.value_and_grad(objective)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -230,7 +269,7 @@ def make_two_pass_train_step(model: Model, cfg: TrainConfig, tx,
     extra cost is one recomputed forward (the same trade ``jax.checkpoint``
     makes, placed at the semantically-forced boundary).
     """
-    loss_fn = make_loss(cfg)
+    batch_obj = make_batch_objective(cfg)
     mcfg = model.config
     m = cfg.microbatch
     assert m > 0 and cfg.batch_size % m == 0, \
@@ -242,7 +281,7 @@ def make_two_pass_train_step(model: Model, cfg: TrainConfig, tx,
     @jax.jit
     def step(params, opt_state, images, labels):
         loss_val, grads = _two_pass_loss_and_grads(params, images, labels,
-                                                   fwd, loss_fn, m)
+                                                   fwd, batch_obj, m)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_val
@@ -261,7 +300,7 @@ def make_sharded_train_step(model: Model, cfg: TrainConfig, tx, mesh,
     each chip holds activations for microbatch/n_data images at a time."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    loss_fn = make_loss(cfg)
+    batch_obj = make_batch_objective(cfg)
     mcfg = model.config
 
     def param_sharding(params):
@@ -296,12 +335,12 @@ def make_sharded_train_step(model: Model, cfg: TrainConfig, tx, mesh,
                 params, images, labels,
                 lambda p, xb: apply_descriptor(p, xb, mcfg, dtype=dtype,
                                                train=True),
-                loss_fn, cfg.microbatch)
+                batch_obj, cfg.microbatch)
         else:
             def objective(p):
                 descs = apply_descriptor(p, images, mcfg, dtype=dtype,
                                          train=True)
-                return batch_ap_loss(descs, labels, loss_fn)
+                return batch_obj(descs, labels)
 
             loss_val, grads = jax.value_and_grad(objective)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
