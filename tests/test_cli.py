@@ -120,3 +120,38 @@ class TestModuleMains:
 
         with pytest.raises(ImportError, match="kapture"):
             extract_kapture_global_features("/nonexistent", None, "t", "")
+
+
+def test_fit_whitening_cli(tmp_path):
+    """train -> fit_whitening -> test_dir --whiten: the full own-model
+    pipeline the reference implies but never shipped (its checkpoints'
+    PCA was fitted internally)."""
+    import jax
+    import numpy as np
+
+    from dirjax.cli.fit_whitening import main as fw_main
+    from dirjax.models import create_model
+    from dirjax.utils.checkpoints import Checkpoint, load_native, save_native
+
+    model = create_model("resnet18_rmac", out_dim=16)
+    ck = Checkpoint(model=model, params=model.init(jax.random.PRNGKey(0)),
+                    preprocess=model.preprocess)
+    src = str(tmp_path / "ck.npz")
+    out = str(tmp_path / "ck_whitened.npz")
+    save_native(src, ck)
+
+    fw_main(["--dataset", "SyntheticLabels", "--checkpoint", src,
+             "--name", "SynClean", "--out", out,
+             "--trfs", "Scale(48), CenterCrop(48)", "--max-images", "16",
+             "--gpu", "-1"])
+    back = load_native(out)
+    assert "SynClean" in back.pca
+    pca = back.pca["SynClean"]
+    assert pca.components.shape[1] == 16 and np.all(np.isfinite(pca.mean))
+
+    from dirjax.cli.test_dir import main as td_main
+
+    res = td_main(["--dataset", "Synthetic", "--checkpoint", out,
+                   "--whiten", "SynClean", "--whitenp", "0.25",
+                   "--trfs", "Scale(64)", "--gpu", "-1"])
+    assert 0.0 <= res["mAP-medium"] <= 1.0
