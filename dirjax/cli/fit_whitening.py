@@ -24,29 +24,21 @@ import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from .common import add_model_args
+
     parser = argparse.ArgumentParser(
         description="Fit PCA whitening from a dataset and store it in a "
                     "checkpoint")
-    parser.add_argument("--dataset", "-d", type=str, required=True,
-                        help="dataset spec whose descriptors fit the PCA")
-    parser.add_argument("--checkpoint", type=str, required=True)
+    # the shared extraction surface (dataset/checkpoint/trfs/pooling/
+    # batching/device flags) — keep in lockstep with test_dir
+    add_model_args(parser, whitenp_default=0.25)
     parser.add_argument("--name", type=str, default="Landmarks_clean",
                         help="key under which the PCA is stored "
                              "(test_dir --whiten <name>)")
     parser.add_argument("--out", type=str, required=True,
                         help="output checkpoint (.npz native, .pt torch)")
-    parser.add_argument("--trfs", type=str, default="", nargs="+",
-                        help="transform chain(s) for extraction")
-    parser.add_argument("--pooling", type=str, default="mean")
-    parser.add_argument("--gemp", type=int, default=3)
     parser.add_argument("--max-images", type=int, default=0,
                         help="fit on at most this many images (0 = all)")
-    parser.add_argument("--batch-size", type=int, default=8)
-    parser.add_argument("--batching", type=str, default="group",
-                        choices=("group", "bucket", "single"))
-    parser.add_argument("--threads", type=int, default=8)
-    parser.add_argument("--gpu", type=int, default=0, nargs="+")
-    parser.add_argument("--bf16", action="store_true")
     return parser
 
 
@@ -75,6 +67,7 @@ def main(argv=None):
     chains = [extract_image_features(
         dataset, chain, extractor, batching=args.batching,
         batch_size=args.batch_size, threads=args.threads,
+        processes=args.processes,
         desc=f"whiten[{chain or 'id'}]", progress=True)
         for chain in trfs_list]
     descs = np.asarray(ops.pool_descriptors(

@@ -41,14 +41,25 @@ def lib_path() -> str:
 
 
 def build(force: bool = False) -> str:
-    """Compile the shared library if missing or stale. Raises on failure."""
+    """Compile the shared library if missing or stale. Raises on failure.
+
+    Concurrency-safe: each builder writes a unique temp file and atomically
+    renames it into place (loader worker processes may all race to build)."""
     if (not force and os.path.exists(_LIB)
             and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
-    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           _SRC, "-o", _LIB + ".tmp", "-ljpeg", "-lpng"]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
-    os.replace(_LIB + ".tmp", _LIB)
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".so.tmp", dir=os.path.dirname(_LIB))
+    os.close(fd)
+    try:
+        cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+               "-std=c++17", _SRC, "-o", tmp, "-ljpeg", "-lpng"]
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return _LIB
 
 

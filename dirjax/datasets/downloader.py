@@ -65,7 +65,12 @@ def download_dataset(dataset: str, *, sources: Optional[dict] = None,
             tmp = os.path.join(jpg_dir, "tmp")
             os.makedirs(tmp, exist_ok=True)
             with tarfile.open(dst_file, "r:gz") as tar:
-                tar.extractall(tmp, filter="data")
+                try:
+                    # path-traversal-safe extraction (py>=3.12, backported
+                    # to 3.11.4/3.10.12); older patch releases lack the kw
+                    tar.extractall(tmp, filter="data")
+                except TypeError:
+                    tar.extractall(tmp)  # noqa: S202 - trusted archives
             # flatten: images may sit inside subfolders
             for cur, _dirs, files in os.walk(tmp):
                 for f in files:

@@ -42,7 +42,9 @@ def _weights(top_sims, alpha: float):
 
 def _expand_from_topk(descs, db_descs, top_sims, top_idx, alpha: float,
                       k: int):
-    neighbors = jnp.take(db_descs, top_idx, axis=0)      # (N, k, D)
+    # gather BEFORE casting: only the (N, k) neighbor rows are widened to
+    # fp32, never the full database (the chunked variants' memory contract)
+    neighbors = jnp.take(db_descs, top_idx, axis=0).astype(jnp.float32)
     weighted = jnp.einsum("nk,nkd->nd", _weights(top_sims, alpha), neighbors,
                           precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
@@ -129,8 +131,7 @@ def expand_queries_chunked(qdescs, db_descs, alpha: float = 3.0, k: int = 10,
     k = min(int(k), db_descs.shape[0])
     q_cast = qdescs.astype(db_descs.dtype)
     vals, idxs = _streaming_topk(q_cast, db_descs, k, db_chunk)
-    neighbors_src = db_descs.astype(jnp.float32)
-    return _expand_from_topk(qdescs, neighbors_src, vals, idxs, alpha, k)
+    return _expand_from_topk(qdescs, db_descs, vals, idxs, alpha, k)
 
 
 def expand_database_chunked(db_descs, alpha: float = 3.0, k: int = 10, *,
@@ -145,13 +146,10 @@ def expand_database_chunked(db_descs, alpha: float = 3.0, k: int = 10, *,
     n = db_descs.shape[0]
     k = min(int(k), n)
     out = []
-    db32 = None
     for row0 in range(0, n, row_block):
         rows = db_descs[row0:min(row0 + row_block, n)]
         vals, idxs = _streaming_topk(rows, db_descs, k, db_chunk, row0=row0)
-        if db32 is None:
-            db32 = db_descs.astype(jnp.float32)
-        out.append(_expand_from_topk(rows.astype(jnp.float32), db32,
+        out.append(_expand_from_topk(rows.astype(jnp.float32), db_descs,
                                      vals, idxs, alpha, k))
     return jnp.concatenate(out, axis=0)
 

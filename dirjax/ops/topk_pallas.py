@@ -76,7 +76,16 @@ def topk_select(x, k: int, row_block: Optional[int] = None,
     """
     nq, n = x.shape
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        if jax.default_backend() == "tpu":
+            # compiling this kernel wedges the chip on the current
+            # toolchain (see the warning above / PERF_NOTES.md); make the
+            # hazard an explicit opt-in instead of the default
+            raise RuntimeError(
+                "topk_select is interpret-only on this TPU toolchain "
+                "(compiling it wedges the chip — PERF_NOTES.md hazard "
+                "log). Pass interpret=False explicitly to try anyway, or "
+                "use jax.lax.top_k.")
+        interpret = True
     if k > n:
         raise ValueError(f"k={k} > n={n}")
     x = x.astype(jnp.float32)

@@ -75,33 +75,42 @@ def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
             "int8 sharded database requires db_scales"
         q = jnp.asarray(q).astype(jnp.bfloat16)
 
-    def local_scores(q_rep, db_local, scales_local):
-        db_l = db_local.astype(jnp.bfloat16) if quantized else db_local
-        scores = jnp.matmul(q_rep.astype(db_l.dtype), db_l.T,
-                            preferred_element_type=jnp.float32)
-        if quantized:
-            scores = scores * scales_local
-        return scores
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(), P(axis, None), P(None, axis)),
-        out_specs=(P(None, axis), P(None, axis)),
-        check_vma=False)
-    def local_topk(q_rep, db_local, scales_local):
-        scores = local_scores(q_rep, db_local, scales_local)
-        rows = db_local.shape[0]
+    def finish_local(scores, rows):
         offset = jax.lax.axis_index(axis) * rows
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
         vals, idx = jax.lax.top_k(scores, min(k, rows))
         return vals, idx + offset
 
-    if db_scales is None:
-        db_scales = jax.device_put(
-            jnp.zeros((1, db_sharded.shape[0]), jnp.float32),
-            NamedSharding(mesh, P(None, axis)))
-    vals, idxs = local_topk(q, db_sharded, db_scales)   # (nq, ndev*k)
+    out_specs = (P(None, axis), P(None, axis))
+    if quantized:
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(axis, None), P(None, axis)),
+            out_specs=out_specs, check_vma=False)
+        def local_topk(q_rep, db_local, scales_local):
+            # widen int8 rows to bf16 (XLA fuses the convert into the dot)
+            scores = jnp.matmul(q_rep, db_local.astype(jnp.bfloat16).T,
+                                preferred_element_type=jnp.float32)
+            return finish_local(scores * scales_local, db_local.shape[0])
+
+        vals, idxs = local_topk(q, db_sharded, db_scales)
+    else:
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(axis, None)),
+            out_specs=out_specs, check_vma=False)
+        def local_topk(q_rep, db_local):
+            # fp32 ranking must pin HIGHEST or the MXU truncates inputs to
+            # bf16 (mAP-relevant); native-bf16 databases dot natively
+            prec = (jax.lax.Precision.HIGHEST
+                    if db_local.dtype == jnp.float32 else None)
+            scores = jnp.matmul(q_rep.astype(db_local.dtype), db_local.T,
+                                precision=prec,
+                                preferred_element_type=jnp.float32)
+            return finish_local(scores, db_local.shape[0])
+
+        vals, idxs = local_topk(q, db_sharded)          # (nq, ndev*k)
     merged_vals, pos = jax.lax.top_k(vals, k)
     merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
     return merged_vals, merged_idxs
@@ -117,7 +126,9 @@ def sharded_scores(q, db_sharded, mesh: Mesh, n_valid: int, axis: str = "db"):
         out_specs=P(None, axis),
         check_vma=False)
     def local_scores(q_rep, db_local):
-        return jnp.matmul(q_rep, db_local.T,
+        prec = (jax.lax.Precision.HIGHEST
+                if db_local.dtype == jnp.float32 else None)
+        return jnp.matmul(q_rep, db_local.T, precision=prec,
                           preferred_element_type=jnp.float32)
 
     scores = local_scores(q, db_sharded)
