@@ -18,7 +18,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Fine-tune a descriptor model")
     parser.add_argument("--dataset", "-d", type=str, required=True,
                         help="labeled dataset spec, e.g. Landmarks_clean")
-    parser.add_argument("--val-dataset", type=str, default=None)
+    parser.add_argument("--val-dataset", type=str, default=None,
+                        help="labeled dataset for per-epoch val loss")
+    parser.add_argument("--eval-dataset", type=str, default=None,
+                        help="retrieval benchmark evaluated each epoch; its "
+                             "mAP becomes the best-checkpoint monitor")
+    parser.add_argument("--eval-trfs", type=str, default="",
+                        help="transform chain for --eval-dataset extraction")
     parser.add_argument("--arch", type=str, default="resnet101_rmac")
     parser.add_argument("--out-dim", type=int, default=2048)
     parser.add_argument("--loss", type=str, default="ap",
@@ -113,14 +119,20 @@ def main(argv=None):
         params = load_tolerant(init, model, donor_sd, delete_fc=args.delete_fc)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    eval_dataset = (datasets.create(args.eval_dataset)
+                    if args.eval_dataset else None)
     model, params, history = fit(
         dataset, cfg, val_dataset=val_dataset, params=params,
         out_dir=args.out_dir, dtype=dtype, resume=args.resume or None,
-        steps_per_epoch=args.steps_per_epoch, progress=True)
+        steps_per_epoch=args.steps_per_epoch, progress=True,
+        eval_dataset=eval_dataset, eval_trfs=args.eval_trfs)
     for h in history:
         line = f"epoch {h['epoch']}: loss {h['loss']:.4f}"
         if "val_loss" in h:
             line += f"  val_loss {h['val_loss']:.4f}"
+        for k in ("mAP", "mAP-medium"):
+            if k in h:
+                line += f"  {k} {h[k]:.4f}"
         print(line)
     return history
 

@@ -407,15 +407,38 @@ def evaluate_val_loss(model, params, cfg: TrainConfig, val_dataset,
     return float(np.mean(losses_v)) if losses_v else float("nan")
 
 
+def evaluate_retrieval(model, params, eval_db, cfg: TrainConfig,
+                       dtype=jnp.float32, trfs: str = "") -> dict:
+    """mAP of the current params on a retrieval benchmark (the metric that
+    actually matters for model selection; loss is only a proxy)."""
+    from .extraction import FeatureExtractor, eval_model
+
+    extractor = FeatureExtractor(model, params, dtype=dtype)
+    return eval_model(eval_db, extractor, trfs, threads=cfg.threads)
+
+
+def _retrieval_monitor(res: dict) -> Optional[float]:
+    """Scalar to MINIMIZE from an eval_model result: -mAP (medium when the
+    protocol is revisited)."""
+    for key in ("mAP-medium", "mAP"):
+        if key in res:
+            return -float(res[key])
+    return None
+
+
 def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
         out_dir: Optional[str] = None, dtype=jnp.float32,
         steps_per_epoch: Optional[int] = None, progress: bool = False,
-        resume: Optional[str] = None):
+        resume: Optional[str] = None, eval_dataset=None, eval_trfs: str = ""):
     """Fine-tune on a labeled dataset; returns (model, params, history).
 
     ``resume``: path to a checkpoint.npz written by a previous fit — params,
     optimizer state and epoch counter are restored (reference
-    load_checkpoint's resume semantics, common.py:117-147)."""
+    load_checkpoint's resume semantics, common.py:117-147).
+
+    ``eval_dataset``: a retrieval benchmark evaluated each epoch; its mAP
+    is recorded in the history and becomes the best-checkpoint monitor
+    (preferred over val_loss — select by the metric you deploy on)."""
     model = create_model(cfg.arch, out_dim=cfg.out_dim)
     if params is None:
         params = model.init(jax.random.PRNGKey(cfg.seed))
@@ -492,6 +515,14 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
             record["val_loss"] = evaluate_val_loss(model, params, cfg,
                                                    val_dataset, dtype=dtype)
             monitor = record["val_loss"]
+        if eval_dataset is not None:
+            res = evaluate_retrieval(model, params, eval_dataset, cfg,
+                                     dtype=dtype, trfs=eval_trfs)
+            record.update({k: v for k, v in res.items()
+                           if isinstance(v, float)})
+            m = _retrieval_monitor(res)
+            if m is not None:
+                monitor = m  # select by mAP when a benchmark is given
         history.append(record)
         is_best = monitor < best
         best = min(best, monitor)

@@ -61,3 +61,28 @@ def test_resume_arch_mismatch(labeled, tmp_path):
                       **{k: v for k, v in CFG.items() if k != "arch"})
     with pytest.raises(AssertionError, match="resume arch"):
         fit(labeled, bad, resume=out + "/checkpoint.npz")
+
+
+def test_fit_with_eval_dataset_monitors_map(tmp_path):
+    """--eval-dataset: per-epoch mAP lands in the history and drives the
+    best-checkpoint monitor (model selection by retrieval metric)."""
+    from dirjax.datasets.synthetic import Synthetic, SyntheticLabels
+    from dirjax.train import TrainConfig, fit
+
+    cfg = TrainConfig(arch="resnet18_rmac", out_dim=16, nq=5, epochs=2,
+                      batch_size=4, threads=2,
+                      trfs="Scale(32), CenterCrop(32)")
+    model, params, history = fit(
+        SyntheticLabels(), cfg, steps_per_epoch=2,
+        out_dir=str(tmp_path), eval_dataset=Synthetic(),
+        eval_trfs="Scale(48)")
+    assert len(history) == 2
+    assert all("mAP-medium" in h for h in history)
+    assert all(0.0 <= h["mAP-medium"] <= 1.0 for h in history)
+    import os
+
+    from dirjax.utils.checkpoints import load_native
+
+    best = load_native(os.path.join(str(tmp_path), "checkpoint.npz"))
+    # monitor persisted as -mAP (minimized)
+    assert -1.0 <= best.extra["best"] <= 0.0
