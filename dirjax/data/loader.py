@@ -66,6 +66,11 @@ class SampleLoader:
     #: use the native C decode+resize pipeline when the transform chain and
     #: dataset allow it (bit-exact with the PIL path; see dirjax.data.native)
     native_decode: bool = True
+    #: 'raise' (default) propagates decode/transform errors; 'skip' drops
+    #: the failing sample from the batch stream with a warning — corrupt
+    #: files in a crawl must not kill a long training run. Extraction keeps
+    #: its strict every-image contract and refuses silently-short results.
+    on_error: str = "raise"
 
     def __init__(self, dataset, transform=None, output=("img", "label")):
         self.dataset = dataset
@@ -187,6 +192,14 @@ def _worker_init(loader: SampleLoader) -> None:
 
 
 def _worker_get(i: int):
+    if getattr(_WORKER_LOADER, "on_error", "raise") == "skip":
+        try:
+            return i, _WORKER_LOADER[i]
+        except Exception as e:
+            import warnings
+
+            warnings.warn(f"skipping sample {i}: {e}")
+            return i, None
     return i, _WORKER_LOADER[i]
 
 
@@ -208,6 +221,20 @@ def iterate_batches(loader: SampleLoader, order: Sequence[int],
     ``device_normalize`` loader so each sample pickles ~1 MB, not ~17 MB.
     """
     order = list(order)
+    skip_errors = getattr(loader, "on_error", "raise") == "skip"
+
+    def get_one(ldr, i):
+        if not skip_errors:
+            return i, ldr[i]
+        try:
+            return i, ldr[i]
+        except Exception as e:  # corrupt file: drop it, keep the run alive
+            import warnings
+
+            warnings.warn(f"skipping sample {i} "
+                          f"({ldr.dataset.get_filename(i)}): {e}")
+            return i, None
+
     if processes > 0:
         from concurrent.futures import ProcessPoolExecutor
 
@@ -217,7 +244,9 @@ def iterate_batches(loader: SampleLoader, order: Sequence[int],
         samples = pool.map(_worker_get, order)
     else:
         pool = ThreadPoolExecutor(max_workers=max(1, threads))
-        samples = pool.map(lambda i: (i, loader[i]), order)
+        samples = pool.map(lambda i: get_one(loader, i), order)
+    if skip_errors:
+        samples = (s for s in samples if s[1] is not None)
 
     def emit(group) -> Batch:
         idxs, items = zip(*group)
@@ -280,7 +309,8 @@ def get_loader(dataset, trf_chain: str = "", iscuda=None, preprocess=None,
                use_all: bool = False, totensor: bool = True,
                device_normalize: bool = False, batching: str = "group",
                processes: int = 0, seed=None,
-               native_decode: bool = True) -> SampleLoader:
+               native_decode: bool = True,
+               on_error: str = "raise") -> SampleLoader:
     """Reference-signature convenience (pytorch_loader.py:11-73): build the
     transform chain from preprocess vars and return a :class:`SampleLoader`.
 
@@ -311,6 +341,8 @@ def get_loader(dataset, trf_chain: str = "", iscuda=None, preprocess=None,
     loader.batching = batching
     loader.seed = seed
     loader.native_decode = native_decode
+    assert on_error in ("raise", "skip"), on_error
+    loader.on_error = on_error
     return loader
 
 

@@ -76,6 +76,9 @@ class TrainConfig:
     #: listwise gradients with O(microbatch) activation memory instead of
     #: O(batch). 0 disables; must divide batch_size.
     microbatch: int = 0
+    #: loader policy for corrupt/undecodable images: 'raise' or 'skip'
+    #: (skip keeps long crawls alive; skipped samples are warned about)
+    on_error: str = "raise"
 
 
 def make_loss(cfg: TrainConfig):
@@ -458,7 +461,8 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
         opt_path = resume + ".opt"
 
     loader = get_loader(dataset, cfg.trfs, preprocess=model.preprocess,
-                        output=("img", "label"), totensor=True)
+                        output=("img", "label"), totensor=True,
+                        on_error=cfg.on_error)
     sampler = BalancedSampler(dataset, rng=np.random.default_rng(cfg.seed))
 
     # total optimizer steps (sizes cosine/step schedules): sampler draws x

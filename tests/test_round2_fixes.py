@@ -295,3 +295,55 @@ class TestAdaptiveOOM:
         ex = FeatureExtractor(model, model.init(jax.random.PRNGKey(0)))
         with pytest.raises(Exception):
             ex.call_adaptive(np.zeros((2, 3), np.float32))  # bad rank
+
+
+class TestLoaderErrorPolicy:
+    def _broken_dataset(self, tmp_path, n=6, broken=(2, 4)):
+        from PIL import Image
+
+        from dirjax.datasets.generic import ImageList
+
+        names = []
+        for i in range(n):
+            p = tmp_path / f"im{i}.jpg"
+            if i in broken:
+                p.write_bytes(b"not a jpeg at all")
+            else:
+                Image.new("RGB", (40, 40), (i * 30, 10, 10)).save(p)
+            names.append(p.name)
+        lst = tmp_path / "list.txt"
+        lst.write_text("\n".join(names) + "\n")
+        return ImageList(str(lst), root=str(tmp_path))
+
+    def test_skip_drops_corrupt_samples(self, tmp_path):
+        import warnings
+
+        from dirjax.data.loader import iterate_batches
+
+        ds = self._broken_dataset(tmp_path)
+        loader = get_loader(ds, "Scale(32)", output=("img",),
+                            on_error="skip", threads=2)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = [i for b in iterate_batches(loader, range(len(ds)),
+                                              batch_size=2, threads=2)
+                   for i in b.indices]
+        assert sorted(got) == [0, 1, 3, 5]
+        assert sum("skipping sample" in str(x.message) for x in w) == 2
+
+    def test_raise_is_default(self, tmp_path):
+        from dirjax.data.loader import iterate_batches
+
+        ds = self._broken_dataset(tmp_path)
+        loader = get_loader(ds, "Scale(32)", output=("img",))
+        with pytest.raises(Exception):
+            list(iterate_batches(loader, range(len(ds)), batch_size=2))
+
+    def test_extraction_refuses_short_results(self, tmp_path):
+        """extract_image_features keeps the every-image contract even on a
+        skip-policy loader: it must fail loudly, not return zero rows."""
+        ds = self._broken_dataset(tmp_path)
+        model = create_model("resnet18_rmac", out_dim=8)
+        ex = FeatureExtractor(model, model.init(jax.random.PRNGKey(0)))
+        with pytest.raises(Exception):
+            extract_image_features(ds, "Scale(32)", ex)
