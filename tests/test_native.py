@@ -189,3 +189,41 @@ def test_fast_path_falls_back_on_exotic_file(tmp_path):
     mean = np.float32([0.485, 0.456, 0.406])
     std = np.float32([0.229, 0.224, 0.225])
     assert np.allclose(img, (pil - mean) / std, atol=1e-6)
+
+
+def test_corrupt_inputs_fail_cleanly():
+    """Malformed bytes must raise (Unsupported/ValueError), never crash —
+    the loader's fallback chain depends on clean failure."""
+    r = np.random.default_rng(0)
+    for payload in [
+        b"",
+        b"\xff\xd8\xff" + bytes(r.integers(0, 256, 64, np.uint8)),  # jpeg magic + garbage
+        b"\x89PNG\r\n\x1a\n" + bytes(r.integers(0, 256, 64, np.uint8)),
+        bytes(r.integers(0, 256, 256, np.uint8)),
+    ]:
+        with pytest.raises((native.Unsupported, ValueError)):
+            native.decode(payload)
+
+
+def test_truncated_jpeg_fails_cleanly():
+    data = _jpeg_bytes(_rand_img(60, 80), quality=85)
+    for cut in (len(data) // 4, len(data) // 2):
+        try:
+            out = native.decode(data[:cut])
+            # libjpeg may "recover" a truncated scan with a warning; if it
+            # returns, the shape contract must still hold
+            assert out.shape == (60, 80, 3)
+        except (native.Unsupported, ValueError):
+            pass
+
+
+def test_resize_parity_randomized_sweep():
+    r = np.random.default_rng(42)
+    for _ in range(20):
+        ih, iw = int(r.integers(1, 300)), int(r.integers(1, 300))
+        ow, oh = int(r.integers(1, 300)), int(r.integers(1, 300))
+        arr = r.integers(0, 256, (ih, iw, 3), np.uint8)
+        pil = np.asarray(Image.fromarray(arr).resize((ow, oh),
+                                                     Image.BILINEAR))
+        nat = native.resize_bilinear(arr, (ow, oh))
+        assert np.array_equal(pil, nat), (ih, iw, ow, oh)
