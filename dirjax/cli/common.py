@@ -84,8 +84,10 @@ def load_extractor(args):
     ckpt = load_checkpoint(args.checkpoint)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     precision = None if args.bf16 else jax.lax.Precision.HIGHEST
+    # the checkpoint's own mean/std (test_dir.py:183-191), not the arch's
     extractor = FeatureExtractor(ckpt.model, ckpt.params, dtype=dtype,
-                                 precision=precision)
+                                 precision=precision,
+                                 preprocess=ckpt.preprocess)
 
     whiten = None
     whiten_name = getattr(args, "whiten", None)

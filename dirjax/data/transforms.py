@@ -175,12 +175,18 @@ class Scale:
         img = G.grab_img(sample)
         w, h = img.size
         ow, oh = self.get_params(img.size)
+        resized = False
         if (ow, oh) != img.size:
             a1, a2 = img.size, (ow, oh)
             if (self.can_upscale and min(a1) < min(a2)) or \
                (self.can_downscale and min(a1) > min(a2)):
                 img = img.resize((ow, oh), self.interpolation)
-        return G.update_sample(sample, img, aff=(ow / w, 0, 0, 0, oh / h, 0))
+                resized = True
+        # record the affine only when pixels actually changed — the
+        # reference records it unconditionally (transforms.py:180-185), so
+        # a gate-skipped resize scales bboxes out of the untouched image
+        aff = (ow / w, 0, 0, 0, oh / h, 0) if resized else (1, 0, 0, 0, 1, 0)
+        return G.update_sample(sample, img, aff=aff)
 
 
 class RandomScale(Scale):

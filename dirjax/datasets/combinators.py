@@ -196,9 +196,12 @@ def deploy(dataset, target_dir, transforms=None, redo=False, ext=None,
 
     os.makedirs(target_dir, exist_ok=True)
     manifest_path = os.path.join(target_dir, "imsizes.json")
-    mode = "r+" if os.path.exists(manifest_path) else "w+"
-    with open(manifest_path, mode) as manifest:
+    # 'a+' never truncates: a 'w+' open would clobber a concurrent
+    # deployer's finished manifest BEFORE flock could be acquired (flock is
+    # advisory and cannot protect the open itself)
+    with open(manifest_path, "a+") as manifest:
         flock(manifest, LOCK_EX)
+        manifest.seek(0)
         try:
             imsizes = {k: tuple(v) for k, v in json.load(manifest).items()}
         except (json.JSONDecodeError, ValueError):
@@ -341,7 +344,15 @@ class CropDataset(Dataset):
         arr = np.asarray(img)
         for poly in polygons:
             src = np.asarray(poly, dtype=np.float64).reshape(4, 2)
-            # order corners and build the axis-aligned destination box
+            # normalize corner order exactly as the reference does
+            # (dataset.py:549-557): row 0 must have the larger column-1
+            # value of rows {0,1}, row 2 the smaller of rows {2,3} — the
+            # destination box below assumes it
+            if src[0, 1] < src[1, 1]:
+                src[[0, 1]] = src[[1, 0]]
+            if src[2, 1] > src[3, 1]:
+                src[[2, 3]] = src[[3, 2]]
+            # build the axis-aligned destination box
             cy, cx = src[:, 0].mean(), src[:, 1].mean()
             w = abs(src[0, 1] - src[1, 1]) or 1.0
             h = abs(src[0, 0] - src[2, 0]) or 1.0

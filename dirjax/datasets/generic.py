@@ -131,8 +131,13 @@ class LabeledImages(Dataset):
     def get_query_db(self):
         if self.qimgs is None:
             return self  # every image queries the rest (self is junk)
-        return LabeledImages(self.qimgs, self.qlabels, root=self.root,
-                             cls_idx=self.cls_idx)
+        # memoized: base.Dataset.get_query_groundtruth calls this per
+        # query — rebuilding the query dataset each time is O(N) python
+        if getattr(self, "_query_db", None) is None:
+            self._query_db = LabeledImages(self.qimgs, self.qlabels,
+                                           root=self.root,
+                                           cls_idx=self.cls_idx)
+        return self._query_db
 
 
 #: reference-compatible alias (dirtorch generic.py:33-41)

@@ -41,17 +41,25 @@ class FeatureExtractor:
     """
 
     def __init__(self, model: Model, params, dtype=jnp.float32,
-                 precision=None, fused_head: Optional[bool] = None):
+                 precision=None, fused_head: Optional[bool] = None,
+                 preprocess: Optional[dict] = None):
+        """``preprocess``: the checkpoint's mean/std dict — pass
+        ``ckpt.preprocess`` when loading saved weights (the schema stores it
+        per-checkpoint, reference test_dir.py:183-191); defaults to the
+        architecture's ImageNet constants."""
         self.model = model
         self.params = params
         self.dtype = dtype
+        self.preprocess = dict(model.preprocess)
+        if preprocess:
+            self.preprocess.update(preprocess)
         if fused_head is None:
             # the Pallas head kernel targets TPU; elsewhere it falls back
             # to the XLA composition anyway
             fused_head = jax.default_backend() == "tpu"
 
         cfg = model.config
-        pre = model.preprocess
+        pre = self.preprocess
         scale = tuple(1.0 / (255.0 * s) for s in pre["std"])
         offset = tuple(m / s for m, s in zip(pre["mean"], pre["std"]))
 
@@ -71,9 +79,11 @@ class FeatureExtractor:
         self._forward = _forward
 
     def __call__(self, images: np.ndarray, mask: Optional[np.ndarray] = None):
+        # with_mask=False never reads the mask: ship a (1,1,1) placeholder
+        # instead of a full-size dead buffer on every unmasked dispatch
         out = self._forward(self.params, jnp.asarray(images),
                             jnp.asarray(mask) if mask is not None else
-                            jnp.zeros(images.shape[:3], bool),
+                            jnp.zeros((1, 1, 1), bool),
                             mask is not None)
         return out
 
@@ -113,7 +123,7 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
     by dataset index (the reference's debug path, test_dir.py:63,76-77);
     the return becomes ``(images, descriptors)``.
     """
-    preprocess = extractor.model.preprocess
+    preprocess = extractor.preprocess
     loader = get_loader(dataset, trf_chain=transforms, preprocess=preprocess,
                         output=("img",), totensor=True, device_normalize=True)
     order = range(len(dataset))
@@ -217,19 +227,17 @@ def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
                   progress=progress)
         bl, ql = [], []
         for chain in trfs_list:
-            # chains with Pad/Crop produce same-size outputs (reference
-            # test_dir.py:114); otherwise group same shapes
-            mode = batching
             bl.append(extract_image_features(
-                db, chain, extractor, batching=mode, desc="DB", **kw))
+                db, chain, extractor, batching=batching, desc="DB", **kw))
             ql.append(bl[-1] if db is query_db else extract_image_features(
-                query_db, chain, extractor, batching=mode, desc="query", **kw))
+                query_db, chain, extractor, batching=batching, desc="query",
+                **kw))
             if tta == "flip":
                 bl.append(extract_image_features(
-                    db, chain, extractor, batching=mode, desc="DB/flip",
+                    db, chain, extractor, batching=batching, desc="DB/flip",
                     flip=[1] * len(db), **kw))
                 ql.append(bl[-1] if db is query_db else extract_image_features(
-                    query_db, chain, extractor, batching=mode,
+                    query_db, chain, extractor, batching=batching,
                     desc="query/flip", flip=[1] * len(query_db), **kw))
         bdescs = np.asarray(ops.pool_descriptors(
             [jnp.asarray(d) for d in bl], pooling, gemp))

@@ -251,7 +251,10 @@ def _unflatten(flat: Dict[str, np.ndarray]):
         if not isinstance(node, dict):
             return node
         keys = list(node.keys())
-        if keys and all(k.isdigit() for k in keys):
+        # only a CONTIGUOUS 0..n-1 digit range is a saved list; a lone
+        # numeric name (e.g. a pca entry called "123") must stay a dict
+        if keys and all(k.isdigit() for k in keys) and \
+                sorted(int(k) for k in keys) == list(range(len(keys))):
             return [listify(node[str(i)]) for i in range(len(keys))]
         return {k: listify(v) for k, v in node.items()}
 
@@ -296,13 +299,17 @@ def load_native(path: str) -> Checkpoint:
     params_flat = {k[len("params/"):]: v for k, v in arrays.items()
                    if k.startswith("params/")}
     params = _unflatten(params_flat)
-    pca_flat = {k[len("pca/"):]: v for k, v in arrays.items()
-                if k.startswith("pca/")}
-    pca_tree = _unflatten(pca_flat)
+    # parse pca entries WITHOUT _unflatten's list detection: a whitening
+    # dataset named "0"/"123" must stay a dict key, never a list index
+    pca_fields: Dict[str, dict] = {}
+    for k, v in arrays.items():
+        if k.startswith("pca/"):
+            name, field = k[len("pca/"):].rsplit("/", 1)
+            pca_fields.setdefault(name, {})[field] = v
     pca = {name: PCAParams(mean=v["mean"], components=v["components"],
                            variance=v["variance"],
                            whiten=bool(v.get("whiten", True)))
-           for name, v in pca_tree.items()}
+           for name, v in pca_fields.items()}
     model = create_model(meta["arch"], **{k: v for k, v in
                                           meta["model_options"].items()})
     return Checkpoint(model=model, params=params,

@@ -347,3 +347,60 @@ class TestLoaderErrorPolicy:
         ex = FeatureExtractor(model, model.init(jax.random.PRNGKey(0)))
         with pytest.raises(Exception):
             extract_image_features(ds, "Scale(32)", ex)
+
+
+class TestReviewRound2B:
+    """Second self-review pass fixes (round-1 legacy code)."""
+
+    def test_checkpoint_preprocess_drives_normalization(self):
+        """A checkpoint's own mean/std must reach the device-normalize path
+        (reference reads checkpoint['preprocess'], test_dir.py:183-191)."""
+        model = create_model("resnet18_rmac", out_dim=8)
+        params = model.init(jax.random.PRNGKey(0))
+        custom = {"mean": [0.0, 0.0, 0.0], "std": [1.0, 1.0, 1.0]}
+        ex_custom = FeatureExtractor(model, params, preprocess=custom)
+        ex_default = FeatureExtractor(model, params)
+        assert ex_custom.preprocess["mean"] == [0.0, 0.0, 0.0]
+        img = np.random.default_rng(0).integers(
+            0, 256, (1, 32, 32, 3), np.uint8)
+        d1 = np.asarray(ex_custom(img))
+        d2 = np.asarray(ex_default(img))
+        assert not np.allclose(d1, d2), \
+            "custom preprocess must change uint8 normalization"
+
+    def test_scale_gate_skip_keeps_identity_affine(self):
+        from dirjax.data import transforms as T
+
+        t = T.Scale(64, can_upscale=False)
+        from PIL import Image
+
+        sample = {"img": Image.new("RGB", (32, 40)),
+                  "bbox": (0, 0, 32, 40), "aff": (1, 0, 0, 0, 1, 0)}
+        out = t(sample)
+        assert out["img"].size == (32, 40)          # resize gated off
+        assert tuple(out["aff"]) == (1, 0, 0, 0, 1, 0)
+
+    def test_native_checkpoint_numeric_pca_name_roundtrip(self, tmp_path):
+        from dirjax.ops.whitening import PCAParams
+        from dirjax.utils.checkpoints import (Checkpoint, load_native,
+                                              save_native)
+
+        model = create_model("resnet18_rmac", out_dim=8)
+        pca = PCAParams(mean=np.zeros(8, np.float32),
+                        components=np.eye(8, dtype=np.float32),
+                        variance=np.ones(8, np.float32))
+        ck = Checkpoint(model=model, params=model.init(jax.random.PRNGKey(0)),
+                        preprocess=model.preprocess,
+                        pca={"123": pca, "0": pca})
+        p = str(tmp_path / "ck.npz")
+        save_native(p, ck)
+        back = load_native(p)
+        assert set(back.pca) == {"123", "0"}
+        assert back.pca["123"].components.shape == (8, 8)
+
+    def test_query_db_memoized(self):
+        from dirjax.datasets.generic import LabeledImages
+
+        ds = LabeledImages(["a.jpg", "b.jpg"], ["x", "y"],
+                           qimgs=["q.jpg"], qlabels=["x"])
+        assert ds.get_query_db() is ds.get_query_db()
