@@ -123,7 +123,9 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
     by dataset index (the reference's debug path, test_dir.py:63,76-77);
     the return becomes ``(images, descriptors)``.
     """
-    preprocess = extractor.preprocess
+    # duck-typed extractors (ShardedExtractor) may not carry preprocess
+    preprocess = getattr(extractor, "preprocess", None) or \
+        extractor.model.preprocess
     loader = get_loader(dataset, trf_chain=transforms, preprocess=preprocess,
                         output=("img",), totensor=True, device_normalize=True)
     order = range(len(dataset))

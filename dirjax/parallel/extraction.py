@@ -28,7 +28,8 @@ class ShardedExtractor:
     per-image descriptors. Drop-in for the extraction pipeline."""
 
     def __init__(self, model: Model, params, mesh: Mesh,
-                 dtype=jnp.float32, precision=None, axis: str = "data"):
+                 dtype=jnp.float32, precision=None, axis: str = "data",
+                 preprocess=None):
         self.model = model
         self.mesh = mesh
         self.axis = axis
@@ -38,7 +39,10 @@ class ShardedExtractor:
         batch_sharding = NamedSharding(mesh, P(axis))
         self.params = jax.device_put(params, NamedSharding(mesh, P()))
 
-        pre = model.preprocess
+        self.preprocess = dict(model.preprocess)
+        if preprocess:
+            self.preprocess.update(preprocess)
+        pre = self.preprocess
         scale = tuple(1.0 / (255.0 * s) for s in pre["std"])
         offset = tuple(m / s for m, s in zip(pre["mean"], pre["std"]))
 
