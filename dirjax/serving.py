@@ -169,20 +169,51 @@ class RetrievalIndex:
 
     # --- persistence ------------------------------------------------------
     def save(self, path: str) -> None:
-        db = np.asarray(self._db[: self.n] if self.mesh is None
-                        else self._db[: self.n])
+        """int8 indexes persist quantized (rows + per-row scales: 4x
+        smaller than fp32 and reload without re-quantizing); other dtypes
+        persist fp32."""
+        arrays = {}
         if self._scales is not None:
-            # persist dequantized fp32 so a reload may pick any dtype
-            db = db.astype(np.float32) * np.asarray(self._scales).T[: self.n]
-        arrays = {"descriptors": db.astype(np.float32)}
+            arrays["descriptors_i8"] = np.asarray(self._db[: self.n])
+            arrays["scales"] = np.asarray(self._scales)[:, : self.n]
+        else:
+            arrays["descriptors"] = np.asarray(
+                self._db[: self.n]).astype(np.float32)
         if self.keys is not None:
             arrays["keys"] = np.asarray(self.keys)
         with open(path, "wb") as f:
             np.savez(f, **arrays)
 
     @classmethod
-    def load(cls, path: str, mesh=None, dtype=jnp.float32) -> "RetrievalIndex":
+    def load(cls, path: str, mesh=None, dtype=None) -> "RetrievalIndex":
+        """``dtype=None`` keeps the stored representation (int8 archives
+        reload as int8 without a quantization pass; fp32 archives as fp32)."""
         with np.load(path, allow_pickle=False) as data:
-            descs = data["descriptors"]
             keys = [str(k) for k in data["keys"]] if "keys" in data else None
-        return cls(descs, keys=keys, mesh=mesh, dtype=dtype)
+            if "descriptors_i8" in data:
+                if dtype not in (None, jnp.int8):
+                    # caller wants a float index back: dequantize
+                    descs = data["descriptors_i8"].astype(np.float32) \
+                        * data["scales"].T
+                    return cls(descs, keys=keys, mesh=mesh, dtype=dtype)
+                idx = cls.__new__(cls)
+                db_i8 = data["descriptors_i8"]
+                scales = data["scales"]
+                idx.n, idx.dim = db_i8.shape
+                idx.keys = keys
+                idx.mesh = mesh
+                idx.dtype = jnp.int8
+                if mesh is None:
+                    idx._db = jnp.asarray(db_i8)
+                    idx._scales = jnp.asarray(scales)
+                else:
+                    from .parallel.ranking import shard_database_quantized
+
+                    # re-shard the stored quantization (scales preserved)
+                    deq = db_i8.astype(np.float32) * scales.T
+                    idx._db, idx._scales, idx._n_valid = \
+                        shard_database_quantized(jnp.asarray(deq), mesh)
+                return idx
+            descs = data["descriptors"]
+        return cls(descs, keys=keys, mesh=mesh,
+                   dtype=jnp.float32 if dtype is None else dtype)

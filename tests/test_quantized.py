@@ -119,12 +119,22 @@ class TestRetrievalIndexInt8:
         idx = RetrievalIndex(db, keys=keys, dtype=jnp.int8)
         p = str(tmp_path / "index.npz")
         idx.save(p)
-        back = RetrievalIndex.load(p, dtype=jnp.int8)
-        # saved dequantized: within half a quantization step of the original
+        # int8 archives store rows+scales (4x smaller) and reload EXACTLY
         with np.load(p) as data:
+            assert data["descriptors_i8"].dtype == np.int8
             step = np.abs(db).max(axis=1, keepdims=True) / 127.0
-            assert np.all(np.abs(data["descriptors"] - db) <= step / 2 + 1e-7)
+            deq = data["descriptors_i8"].astype(np.float32) * data["scales"].T
+            assert np.all(np.abs(deq - db) <= step / 2 + 1e-7)
+        back = RetrievalIndex.load(p)          # dtype inferred from archive
+        assert back.dtype == jnp.int8
+        assert np.array_equal(np.asarray(back._db), np.asarray(idx._db))
         assert back.lookup([[0, 5]]) == [["img0", "img5"]]
+        # a float reload dequantizes on request
+        as_f32 = RetrievalIndex.load(p, dtype=jnp.float32)
+        assert as_f32.dtype == jnp.float32
+        v1, i1 = back.search(db[:3], k=4)
+        v2, i2 = as_f32.search(db[:3], k=4)
+        assert np.array_equal(i1, i2)
 
     def test_int8_mesh_matches_single_chip(self):
         """int8 + mesh: rows and scales sharded over 'db'; results must
