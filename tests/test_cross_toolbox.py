@@ -147,3 +147,64 @@ def test_full_pipeline_map_parity_classic(toolchain):
         "--whitenp", "0.25", "--gpu", "-1", "--trfs", ""])
 
     assert res_jax["mAP"] == pytest.approx(float(res_ref["mAP"]), abs=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(REF is None, reason="reference toolbox not importable")
+def test_multiscale_flip_tta_parity(toolchain):
+    """BASELINE configs[2]: multi-scale + horizontal-flip TTA. The reference
+    never wires its flip pop-list into eval_model (test_dir.py:71-72 is only
+    reachable through extract_image_features), so the reference side is
+    staged from its own primitives exactly as dirjax's --tta flip composes
+    them: per chain, extract normal + all-flipped, gem-pool everything,
+    whiten, rank, mAP."""
+    import torch
+    import torch.nn.functional as F
+
+    import dirjax.datasets as D
+    from dirjax.cli.test_dir import main as dirjax_test_dir
+
+    ref_generic, _, ref_test, ref_common, net, root = toolchain
+    bench = D.Synthetic(root)
+    gt_path = os.path.join(bench.root, "gnd_synthetic.pkl")
+    ref_db = ref_generic.ImageListRelevants(gt_path, root=bench.root)
+    query_db = ref_db.get_query_db()
+
+    pca = _fit_pca_on_db(ref_test, ref_common, net, ref_db)
+    net.pca = pca
+    chains = ["Scale(64)", "Scale(48)"]
+
+    def extract_all(db):
+        feats = []
+        for chain in chains:
+            with torch.no_grad():
+                feats.append(ref_test.extract_image_features(
+                    db, chain, net, iscuda=False, threads=2, batch_size=1))
+                feats.append(ref_test.extract_image_features(
+                    db, chain, net, iscuda=False, threads=2, batch_size=1,
+                    flip=[1] * len(db)))
+        return F.normalize(ref_common.pool(feats, "gem", 3), p=2, dim=1)
+
+    bdescs = ref_common.tonumpy(extract_all(ref_db))
+    qdescs = ref_common.tonumpy(extract_all(query_db))
+    bdescs = ref_common.whiten_features(bdescs, pca, whitenp=0.25)
+    qdescs = ref_common.whiten_features(qdescs, pca, whitenp=0.25)
+    scores = ref_common.matmul(qdescs, bdescs)
+    aps = [ref_db.eval_query_AP(q, s) for q, s in enumerate(scores)]
+    res_ref = {f"mAP-{m}": float(np.mean([a[m] for a in aps]))
+               for m in aps[0]}
+
+    ck = os.path.join(root, "ref_random_tta.pt")
+    torch.save({"state_dict": net.state_dict(),
+                "model_options": {"arch": "resnet18_rmac"},
+                "preprocess": net.preprocess,
+                "pca": {"Landmarks_clean": pca}}, ck)
+    res_jax = dirjax_test_dir([
+        "--dataset", f"Synthetic('{root}')", "--checkpoint", ck,
+        "--whiten", "Landmarks_clean", "--whitenp", "0.25",
+        "--trfs", *chains, "--tta", "flip", "--pooling", "gem",
+        "--gpu", "-1"])
+
+    for key in ("mAP-easy", "mAP-medium", "mAP-hard"):
+        assert res_jax[key] == pytest.approx(res_ref[key], abs=1e-4), \
+            f"{key}: dirjax {res_jax[key]} != dirtorch {res_ref[key]}"
