@@ -24,8 +24,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "P", "Mesh",
-           "NamedSharding"]
+__all__ = ["make_mesh", "make_multihost_mesh", "data_sharding", "replicated",
+           "P", "Mesh", "NamedSharding"]
 
 
 def make_mesh(data: Optional[int] = None, db: int = 1,
@@ -37,6 +37,30 @@ def make_mesh(data: Optional[int] = None, db: int = 1,
         data = n // db
     assert data * db == n, f"{data}x{db} != {n} devices"
     arr = np.asarray(devices).reshape(data, db)
+    return Mesh(arr, axis_names=("data", "db"))
+
+
+def make_multihost_mesh(db_per_host: Optional[int] = None,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh for a multi-host pod: "data" across hosts (DCN), "db" within a
+    host (ICI) — extraction is embarrassingly parallel so its axis can ride
+    the slow interconnect, while ranking's per-query candidate all-gather
+    stays on ICI (the scaling-book recipe: collectives on the fastest axis
+    that must communicate).
+
+    Call :func:`jax.distributed.initialize` first in each host process;
+    ``db_per_host`` defaults to every local device. On a single host this
+    degenerates to ``make_mesh(data=1, db=n)``."""
+    devices = list(devices if devices is not None else jax.devices())
+    if db_per_host is None:
+        db_per_host = jax.local_device_count() if devices is None else \
+            max(1, len([d for d in devices
+                        if d.process_index == devices[0].process_index]))
+    n = len(devices)
+    assert n % db_per_host == 0, f"{n} devices not divisible by {db_per_host}"
+    # sort so each mesh row holds one host's ICI-adjacent devices
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    arr = np.asarray(devices).reshape(n // db_per_host, db_per_host)
     return Mesh(arr, axis_names=("data", "db"))
 
 

@@ -156,3 +156,32 @@ class TestShardedEvalModel:
         for mode in ("easy", "medium", "hard"):
             assert res_sh[f"mAP-{mode}"] == pytest.approx(
                 res_si[f"mAP-{mode}"], abs=1e-4)
+
+
+def test_multihost_mesh_layout():
+    """make_multihost_mesh: 'db' rows are ICI-adjacent (same process),
+    'data' spans processes; full pipeline runs on the resulting mesh. On
+    the single-process CPU harness every device shares process_index, so
+    db_per_host must be explicit."""
+    import numpy as np
+
+    from dirjax.parallel import make_multihost_mesh, shard_database, sharded_topk
+    from dirjax.parallel.mesh import make_mesh
+
+    mesh = make_multihost_mesh(db_per_host=4)
+    assert dict(mesh.shape) == {"data": 2, "db": 4}
+    # each "host row" holds consecutive device ids (the ICI-adjacent sort)
+    ids = np.array([[d.id for d in row] for row in mesh.devices])
+    assert (np.diff(ids, axis=1) == 1).all()
+
+    rng = np.random.default_rng(0)
+    db = rng.normal(size=(33, 16)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    db_sh, n = shard_database(db, mesh)
+    v, i = sharded_topk(db[:3], db_sh, 4, mesh, n)
+    assert np.array_equal(np.asarray(i)[:, 0], np.arange(3))
+    # equality with the plain mesh layout
+    mesh2 = make_mesh(data=2, db=4)
+    db_sh2, n2 = shard_database(db, mesh2)
+    v2, i2 = sharded_topk(db[:3], db_sh2, 4, mesh2, n2)
+    assert np.array_equal(np.asarray(i), np.asarray(i2))
