@@ -104,3 +104,32 @@ def test_logexp_from_distances_matches_call():
     dn = _pairwise_distance(a, n, loss.p, loss.eps)
     got = float(jnp.mean(loss.from_distances(dp, dn)))
     assert np.isclose(want, got, atol=1e-6)
+
+
+def test_triplet_sharded_microbatch_matches_dense():
+    """All three axes at once: batch-hard triplets + two-pass microbatching
+    + the DP+TP mesh — must equal the sharded whole-batch triplet step."""
+    from dirjax.parallel import make_mesh
+    from dirjax.train import make_sharded_train_step
+
+    mesh = make_mesh(data=4, db=2)
+    cfg_d = TrainConfig(arch="resnet18_rmac", out_dim=16, loss="triplet",
+                        margin=0.3, batch_size=8, learning_rate=1e-3,
+                        optimizer="sgd", momentum=0.0, weight_decay=0.0)
+    cfg_m = TrainConfig(**{**cfg_d.__dict__, "microbatch": 4})
+    model = create_model(cfg_d.arch, out_dim=cfg_d.out_dim)
+    params = model.init(jax.random.PRNGKey(2))
+    tx = make_optimizer(cfg_d, params)
+    images = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(np.arange(8) % 3)
+    outs = []
+    for cfg in (cfg_d, cfg_m):
+        step, shard_args = make_sharded_train_step(model, cfg, tx, mesh)
+        sp, so, si, sl = shard_args(params, tx.init(params), images, labels)
+        p, _, loss = step(sp, so, si, sl)
+        outs.append((p, float(loss)))
+    (p1, l1), (p2, l2) = outs
+    assert np.isclose(l1, l2, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
