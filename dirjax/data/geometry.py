@@ -126,7 +126,12 @@ def persp_mul(mat, other):
     M = np.array(mat + (1,)).reshape(3, 3)
     if len(other) == 8:
         B = np.array(other + (1,)).reshape(3, 3)
-        return tuple((B @ M).ravel()[:8])
+        C = B @ M
+        # re-normalize so the implicit trailing 1 of the 8-tuple encoding
+        # holds: (B@M)[2,2] != 1 in general, and dropping it unnormalized
+        # yields a DIFFERENT projective map (reference bug,
+        # transforms_tools.py:135-146)
+        return tuple((C / C[2, 2]).ravel()[:8])
     if len(other) == 2:
         pt = np.array(other + (1,)) @ M.T
         pt = pt / pt[2]

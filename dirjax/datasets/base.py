@@ -96,7 +96,10 @@ class Dataset:
         assert self.nclass == query_db.nclass
         if what == "AP":
             gt = -np.ones(self.nimg, dtype=np.int8)
-            gt[self.c_relevant_idx[query_db.get_label(query_idx)]] = 1
+            # .get: a query class with no DB images yields an all-negative
+            # GT (AP=-1, excluded from the mean) instead of a KeyError —
+            # the reference's defaultdict(list) behavior
+            gt[self.c_relevant_idx.get(query_db.get_label(query_idx), [])] = 1
             if query_db is self:
                 gt[query_idx] = 0
             return gt

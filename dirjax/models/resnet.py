@@ -197,7 +197,7 @@ def _max_pool_3x3s2(x):
         [(0, 0), (1, 1), (1, 1), (0, 0)])
 
 
-def _stem_conv_s2d(x, w, *, dtype, precision):
+def _stem_conv_s2d(x, w, *, dtype, precision, grad_safe=False):
     """The 7x7/stride-2 stem conv via space-to-depth — mathematically exact.
 
     A 3-channel conv runs at ~3/128 MXU lane utilization and dominated the
@@ -237,6 +237,13 @@ def _stem_conv_s2d(x, w, *, dtype, precision):
                     slot = (pu * 2 + pv) * C
                     ws = ws.at[alpha, beta, slot:slot + C, :].set(w[a, b])
 
+    if grad_safe and dtype != jnp.float32:
+        # same mixed-dtype transpose hazard as _conv's grad_safe branch:
+        # emit the compute dtype and widen explicitly under autodiff
+        out = jax.lax.conv_general_dilated(
+            xs.astype(dtype), ws.astype(dtype), (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+        return out.astype(jnp.float32)
     out = jax.lax.conv_general_dilated(
         xs.astype(dtype), ws.astype(dtype), (1, 1), ((2, 1), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -357,8 +364,7 @@ def apply_resnet(params, x, cfg: ResNetConfig, *, out_layer: int = 0,
     kw = dict(dtype=dtype, precision=precision, grad_safe=grad_safe)
     folded = "bn" not in params["stem"]
     stem_conv = (
-        (lambda x_, w_, **k: _stem_conv_s2d(
-            x_, w_, **{kk: vv for kk, vv in k.items() if kk != "grad_safe"}))
+        (lambda x_, w_, **k: _stem_conv_s2d(x_, w_, **k))
         if stem_s2d else (lambda x_, w_, **k: _conv(x_, w_, 2, 3, **k)))
     if folded:
         kw.pop("grad_safe", None)  # folded path is inference-only

@@ -92,8 +92,9 @@ def _dropout(x, rate, rng):
     return jnp.where(mask, x / keep, 0.0)
 
 
-def _pool(cfg: DescriptorConfig, params, x, mask, p_name="pool_p"):
-    if cfg.center_bias > 0:
+def _pool(cfg: DescriptorConfig, params, x, mask, p_name="pool_p",
+          center_bias=True):
+    if center_bias and cfg.center_bias > 0:
         bias = center_bias_mask(x.shape[1], x.shape[2], cfg.center_bias,
                                 dtype=x.dtype)
         x = x * bias[None, :, :, None]
@@ -184,8 +185,10 @@ def apply_descriptor(params, images, cfg: DescriptorConfig, *,
         if mask is not None:
             c4_mask = _downsample_mask(mask, 16, c4.shape[1], c4.shape[2])
             feat_mask = _downsample_mask(mask, 32, c5.shape[1], c5.shape[2])
-        d5 = _pool(cfg, params, c5, feat_mask, "pool_p_x5")
-        d4 = _pool(cfg, params, c4, c4_mask, "pool_p_c4")
+        # the reference's FPN head accepts center_bias but never applies it
+        # (rmac_resnet_fpn.py forward) — match that for checkpoint parity
+        d5 = _pool(cfg, params, c5, feat_mask, "pool_p_x5", center_bias=False)
+        d4 = _pool(cfg, params, c4, c4_mask, "pool_p_c4", center_bias=False)
         desc = jnp.concatenate([d4, d5], axis=1)
 
     if cfg.norm_features:

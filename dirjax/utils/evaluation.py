@@ -57,8 +57,8 @@ def average_precision_revisited(positive_ranks: np.ndarray) -> float:
         return 0.0
     i = np.arange(n_pos, dtype=np.float64)
     ranks = positive_ranks.astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        left = np.where(ranks == 0, 1.0, i / np.where(ranks == 0, 1.0, ranks))
+    # precision left of rank 0 is defined as 1 (one convention, one guard)
+    left = np.where(ranks == 0, 1.0, i / np.maximum(ranks, 1.0))
     right = (i + 1.0) / (ranks + 1.0)
     return float(np.sum(left + right) / (2.0 * n_pos))
 

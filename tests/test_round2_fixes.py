@@ -404,3 +404,56 @@ class TestReviewRound2B:
         ds = LabeledImages(["a.jpg", "b.jpg"], ["x", "y"],
                            qimgs=["q.jpg"], qlabels=["x"])
         assert ds.get_query_db() is ds.get_query_db()
+
+
+class TestReviewRound2C:
+    """Third self-review pass fixes."""
+
+    def test_query_class_missing_from_db_yields_negative_ap(self):
+        from dirjax.datasets.generic import LabeledImages
+
+        ds = LabeledImages(["a.jpg", "b.jpg"], ["cat", "cat"],
+                           qimgs=["q.jpg"], qlabels=["dog"])
+        gt = ds.get_query_groundtruth(0, "AP")       # no KeyError
+        assert (gt == -1).all()
+        assert ds.eval_query_AP(0, np.asarray([0.9, 0.1])) == -1.0
+
+    def test_s2d_stem_grad_safe(self):
+        from dirjax.models.resnet import apply_resnet
+
+        model = create_model("resnet18_rmac", out_dim=8)
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(1, 32, 32, 3)).astype(np.float32))
+
+        def loss(p):
+            out = apply_resnet(p, x, model.config.backbone,
+                               dtype=jnp.bfloat16, grad_safe=True,
+                               stem_s2d=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(params["backbone"])        # must not TypeError
+        assert np.isfinite(float(jnp.sum(g["stem"]["conv"].astype(jnp.float32))))
+
+    def test_fpn_ignores_center_bias_like_reference(self):
+        from dirjax.models.rmac import apply_descriptor
+
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(1, 64, 64, 3)).astype(np.float32))
+        m0 = create_model("resnet18_fpn_rmac", out_dim=16)
+        params = m0.init(jax.random.PRNGKey(0))
+        mb = create_model("resnet18_fpn_rmac", out_dim=16, center_bias=0.8)
+        d0 = np.asarray(apply_descriptor(params, x, m0.config))
+        db = np.asarray(apply_descriptor(params, x, mb.config))
+        np.testing.assert_array_equal(d0, db)
+
+    def test_persp_mul_composition_normalized(self):
+        from dirjax.data import geometry as G
+
+        h1 = (1.0, 0.1, 2.0, 0.05, 1.1, -1.0, 1e-3, 2e-3)
+        h2 = (0.9, -0.05, 1.0, 0.02, 1.0, 0.5, -1e-3, 5e-4)
+        comp = G.persp_mul(h1, h2)
+        for pt in [(3.0, 4.0), (10.0, -2.0)]:
+            step = G.persp_mul(h2, G.persp_mul(h1, pt))
+            both = G.persp_mul(comp, pt)
+            np.testing.assert_allclose(both, step, rtol=1e-9)
