@@ -148,6 +148,12 @@ class SampleLoader:
                                          toint=True),
                     "imsize": tuple(img.shape[:2]),
                 }
+                # same contract as the PIL path below: requesting a field
+                # the dataset can't provide must raise in BOTH paths, not
+                # silently yield None only when the native lib is built
+                for o in self.output:
+                    assert sample.get(o) is not None, \
+                        f"Missing field {o} for img {sample['img_filename']}"
                 return {o: sample[o] for o in self.output}
         sample = {
             "img_filename": self.dataset.get_filename(index),

@@ -196,10 +196,13 @@ def deploy(dataset, target_dir, transforms=None, redo=False, ext=None,
 
     os.makedirs(target_dir, exist_ok=True)
     manifest_path = os.path.join(target_dir, "imsizes.json")
-    # 'a+' never truncates: a 'w+' open would clobber a concurrent
+    # O_CREAT without O_TRUNC: a 'w+' open would clobber a concurrent
     # deployer's finished manifest BEFORE flock could be acquired (flock is
-    # advisory and cannot protect the open itself)
-    with open(manifest_path, "a+") as manifest:
+    # advisory and cannot protect the open itself). Not 'a+' either: O_APPEND
+    # forces every write to EOF regardless of seek(0), so the rewrite below
+    # would concatenate JSON documents instead of replacing the manifest.
+    fd = os.open(manifest_path, os.O_RDWR | os.O_CREAT, 0o644)
+    with os.fdopen(fd, "r+") as manifest:
         flock(manifest, LOCK_EX)
         manifest.seek(0)
         try:

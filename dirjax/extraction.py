@@ -30,7 +30,30 @@ from .data.loader import get_loader, iterate_batches
 from .models import Model
 from .utils import evaluation as ev
 
-__all__ = ["extract_image_features", "eval_model", "FeatureExtractor"]
+__all__ = ["extract_image_features", "eval_model", "FeatureExtractor",
+           "adaptive_call"]
+
+
+def adaptive_call(call, images: np.ndarray,
+                  mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """Run ``call(images, mask)`` but survive device OOM: on
+    RESOURCE_EXHAUSTED the batch is split in half recursively (down to
+    single images), so oversized batches/resolutions degrade to smaller
+    dispatches instead of killing a long extraction run. Works with any
+    duck-typed extractor (FeatureExtractor, ShardedExtractor, ...).
+    Returns a host array."""
+    try:
+        return np.asarray(call(images, mask))
+    except Exception as e:  # jaxlib.XlaRuntimeError has no stable path
+        if "RESOURCE_EXHAUSTED" not in str(e) or len(images) <= 1:
+            raise
+    half = len(images) // 2
+    return np.concatenate([
+        adaptive_call(call, images[:half],
+                      mask[:half] if mask is not None else None),
+        adaptive_call(call, images[half:],
+                      mask[half:] if mask is not None else None),
+    ])
 
 
 class FeatureExtractor:
@@ -89,22 +112,8 @@ class FeatureExtractor:
 
     def call_adaptive(self, images: np.ndarray,
                       mask: Optional[np.ndarray] = None) -> np.ndarray:
-        """Like ``__call__`` but survives device OOM: on RESOURCE_EXHAUSTED
-        the batch is split in half recursively (down to single images), so
-        oversized batches/resolutions degrade to smaller dispatches instead
-        of killing a long extraction run. Returns a host array."""
-        try:
-            return np.asarray(self(images, mask))
-        except Exception as e:  # jaxlib.XlaRuntimeError has no stable path
-            if "RESOURCE_EXHAUSTED" not in str(e) or len(images) <= 1:
-                raise
-        half = len(images) // 2
-        return np.concatenate([
-            self.call_adaptive(images[:half],
-                               mask[:half] if mask is not None else None),
-            self.call_adaptive(images[half:],
-                               mask[half:] if mask is not None else None),
-        ])
+        """OOM-surviving ``__call__``; see :func:`adaptive_call`."""
+        return adaptive_call(self, images, mask)
 
 
 def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor,
@@ -152,7 +161,9 @@ def extract_image_features(dataset, transforms: str, extractor: FeatureExtractor
         except Exception as e:  # device OOM: retry the batch in halves
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            descs = extractor.call_adaptive(imgs_, mask_)
+            # adaptive_call works for ANY duck-typed extractor (incl.
+            # ShardedExtractor, which defines only __call__/preprocess)
+            descs = adaptive_call(extractor, imgs_, mask_)
         if out is None:
             out = np.zeros((n, descs.shape[1]), np.float32)
         out[idxs] = descs

@@ -77,3 +77,11 @@ class ShardedExtractor:
         out = self._forward(self.params, jnp.asarray(images), mask_arr,
                             mask is not None)
         return out[:n]
+
+    def call_adaptive(self, images, mask: Optional[jnp.ndarray] = None):
+        """OOM-surviving ``__call__`` (halving recursion; ``__call__``
+        re-pads each half up to the shard count, so the sharding contract
+        holds at every recursion depth)."""
+        from ..extraction import adaptive_call
+
+        return adaptive_call(self, images, mask)

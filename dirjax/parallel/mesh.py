@@ -24,8 +24,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "make_multihost_mesh", "data_sharding", "replicated",
-           "P", "Mesh", "NamedSharding"]
+__all__ = ["make_mesh", "make_multihost_mesh", "multihost_layout",
+           "data_sharding", "replicated", "P", "Mesh", "NamedSharding"]
 
 
 def make_mesh(data: Optional[int] = None, db: int = 1,
@@ -40,6 +40,21 @@ def make_mesh(data: Optional[int] = None, db: int = 1,
     return Mesh(arr, axis_names=("data", "db"))
 
 
+def multihost_layout(devices: Sequence, db_per_host: int) -> np.ndarray:
+    """(hosts, db_per_host) device grid with each row holding one host's
+    ICI-adjacent devices (grouped by ``process_index``, ordered by ``id``).
+    Pure layout logic, unit-testable with fake device objects."""
+    n = len(devices)
+    assert n % db_per_host == 0, f"{n} devices not divisible by {db_per_host}"
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    arr = np.asarray(devices, dtype=object).reshape(n // db_per_host,
+                                                    db_per_host)
+    for row in arr:  # each mesh row must stay within one host's ICI domain
+        assert len({d.process_index for d in row}) == 1, \
+            "db_per_host does not evenly tile the per-host device groups"
+    return arr
+
+
 def make_multihost_mesh(db_per_host: Optional[int] = None,
                         devices: Optional[Sequence] = None) -> Mesh:
     """Mesh for a multi-host pod: "data" across hosts (DCN), "db" within a
@@ -51,16 +66,17 @@ def make_multihost_mesh(db_per_host: Optional[int] = None,
     Call :func:`jax.distributed.initialize` first in each host process;
     ``db_per_host`` defaults to every local device. On a single host this
     degenerates to ``make_mesh(data=1, db=n)``."""
-    devices = list(devices if devices is not None else jax.devices())
+    explicit = devices is not None
+    devices = list(devices if explicit else jax.devices())
     if db_per_host is None:
-        db_per_host = jax.local_device_count() if devices is None else \
-            max(1, len([d for d in devices
-                        if d.process_index == devices[0].process_index]))
-    n = len(devices)
-    assert n % db_per_host == 0, f"{n} devices not divisible by {db_per_host}"
-    # sort so each mesh row holds one host's ICI-adjacent devices
-    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
-    arr = np.asarray(devices).reshape(n // db_per_host, db_per_host)
+        # For the default device set, this host's own device count is the
+        # right row width (correct even on asymmetric pods where process 0
+        # differs from the caller); for an explicit device list, infer it
+        # from the list itself.
+        db_per_host = max(1, len([d for d in devices
+                                  if d.process_index == devices[0].process_index])) \
+            if explicit else jax.local_device_count()
+    arr = multihost_layout(devices, db_per_host)
     return Mesh(arr, axis_names=("data", "db"))
 
 

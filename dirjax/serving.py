@@ -141,7 +141,6 @@ class RetrievalIndex:
         if self.keys is not None:
             assert keys is not None and len(keys) == len(new), \
                 "index carries keys: add() needs one key per new row"
-            self.keys.extend(keys)
         if self.mesh is None and self._scales is not None:   # int8, 1 chip
             q8, s8 = quantize_db(new)
             self._db = jnp.concatenate([self._db, q8])
@@ -165,6 +164,10 @@ class RetrievalIndex:
 
                 self._db, self._scales, self._n_valid = \
                     shard_database_quantized(jnp.asarray(merged), self.mesh)
+        # extend keys only after the database swap succeeded, so a failed
+        # concat/device_put (e.g. OOM mid-add) can't leave keys/db skewed
+        if self.keys is not None:
+            self.keys.extend(keys)
         self.n += len(new)
 
     # --- persistence ------------------------------------------------------

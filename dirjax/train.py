@@ -386,15 +386,18 @@ def _load_opt_state(path: str, template):
 
 def evaluate_val_loss(model, params, cfg: TrainConfig, val_dataset,
                       dtype=jnp.float32) -> float:
-    """Mean in-batch AP loss over the validation dataset (deterministic
-    center-crop chain)."""
-    loss_fn = make_loss(cfg)
+    """Mean in-batch loss over the validation dataset (deterministic
+    center-crop chain). Uses the same batch objective as the train step, so
+    the triplet family (batch-hard mining) validates with the loss it
+    trains with — not the listwise AP path, whose call signature the
+    triplet losses don't even share."""
+    batch_obj = make_batch_objective(cfg)
     mcfg = model.config
 
     @jax.jit
     def val_step(params, images, labels):
         descs = apply_descriptor(params, images, mcfg, dtype=dtype)
-        return batch_ap_loss(descs, labels, loss_fn)
+        return batch_obj(descs, labels)
 
     chain = f"Scale({cfg.image_size + 32}), CenterCrop({cfg.image_size})"
     loader = get_loader(val_dataset, chain, preprocess=model.preprocess,
