@@ -128,18 +128,27 @@ def bench_descriptor_throughput(arch: str, batch: int, hw, n_iter: int = 16,
 
 
 def bench_ranking_qps(n_db: int = 1_000_000, dim: int = 2048, nq: int = 64,
-                      k: int = 100, n_iter: int = 10, int8: bool = False):
+                      k: int = 100, n_iter: int = 10, int8: bool = False,
+                      _cache={}):
     """Eager serving pattern: successive query batches dispatched
     back-to-back (async), one sync at the end. NOT wrapped in an outer jit —
-    the two-phase ranking kernel relies on its internal jit boundaries
+    the staged ranking path relies on its internal jit boundaries
     (fusing them measured 2x slower). ``int8=True`` measures the quantized-
-    database path (half the HBM stream)."""
+    database path (half the HBM stream). Databases are cached across calls
+    so the 2M-capacity measurement doesn't rebuild the 1M one."""
     from dirjax.ops.topk_pallas import quantize_db, rank_topk_fused
 
-    db = jax.random.normal(jax.random.PRNGKey(2), (n_db, dim), jnp.bfloat16)
-    scales = None
-    if int8:
-        db, scales = quantize_db(db)
+    ck = (n_db, dim, int8)
+    if ck not in _cache:
+        _cache.clear()  # one resident DB at a time (HBM budget)
+        db = jax.random.normal(jax.random.PRNGKey(2), (n_db, dim),
+                               jnp.bfloat16)
+        scales = None
+        if int8:
+            db, scales = quantize_db(db)
+            _sync(db[:8])
+        _cache[ck] = (db, scales)
+    db, scales = _cache[ck]
     qs = [jax.random.normal(jax.random.PRNGKey(10 + j), (nq, dim), jnp.bfloat16)
           for j in range(n_iter)]
 
@@ -204,6 +213,13 @@ def main():
         # int8-quantized database: half the stream, 2x corpus per chip
         extras["ranking_qps_1M_topk100_int8"] = round(
             bench_ranking_qps(int8=True), 1)
+        extras["ranking_qps_1M_topk100_int8_nq256"] = round(
+            bench_ranking_qps(int8=True, nq=256, n_iter=6), 1)
+        # capacity demo: a 2M x 2048 int8 corpus resident on ONE chip
+        # (bf16 could not hold it at all) — every advertised number lives
+        # in this artifact
+        extras["ranking_qps_2M_topk100_int8"] = round(
+            bench_ranking_qps(n_db=2_000_000, int8=True, n_iter=6), 1)
     except Exception as e:
         extras["ranking_error"] = str(e)[:120]
 

@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--gpu", type=int, default=0, nargs="+",
                         help="-1 forces CPU")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--mesh", type=str, default="",
+                        help="SPMD train over a DATAxTP device mesh, e.g. "
+                             "'4,2' = batch DP-sharded over 4 devices x FC "
+                             "TP-sharded over 2 (the multi-chip replacement "
+                             "for the reference's nn.DataParallel); '8' = "
+                             "pure DP over 8 devices")
     return parser
 
 
@@ -121,11 +127,19 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     eval_dataset = (datasets.create(args.eval_dataset)
                     if args.eval_dataset else None)
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+
+        dims = [int(v) for v in args.mesh.split(",")]
+        assert len(dims) in (1, 2), "--mesh takes 'data' or 'data,db'"
+        mesh = make_mesh(dims[0], dims[1] if len(dims) == 2 else 1)
+        print(f"Mesh: data={mesh.shape['data']} x db={mesh.shape['db']}")
     model, params, history = fit(
         dataset, cfg, val_dataset=val_dataset, params=params,
         out_dir=args.out_dir, dtype=dtype, resume=args.resume or None,
         steps_per_epoch=args.steps_per_epoch, progress=True,
-        eval_dataset=eval_dataset, eval_trfs=args.eval_trfs)
+        eval_dataset=eval_dataset, eval_trfs=args.eval_trfs, mesh=mesh)
     for h in history:
         line = f"epoch {h['epoch']}: loss {h['loss']:.4f}"
         if "val_loss" in h:

@@ -210,7 +210,7 @@ def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
                gemp=3, detailed=False, whiten=None, aqe=None, adba=None,
                tta=None, threads=8, processes=0, batch_size=8,
                batching="group", save_feats=None, load_feats=None,
-               progress=False) -> dict:
+               score_chunk=None, progress=False) -> dict:
     """Full benchmark evaluation (reference ``eval_model``, test_dir.py:97-180):
     extract DB+query descriptors over one or more transform chains, pool,
     whiten, expand, rank, and compute mAP / top-k under the dataset's
@@ -223,6 +223,12 @@ def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
     transform chain is additionally extracted with all images mirrored and
     the extra descriptors enter the multi-chain pooling (the reference's
     flip pop-list TTA, test_dir.py:71-72; BASELINE configs[2]).
+
+    ``score_chunk``: DB rows scored per device dispatch. Junk-aware
+    protocols need FULL score rows (reference generic.py:204-208), so large
+    databases chunk the scoring — never top-k — and assemble rows on host.
+    Default None auto-chunks once the fp32 database would exceed ~1 GB of
+    HBM; pass an int to force a chunk size, 0 to force dense.
     """
     if tta not in (None, "", "flip"):
         raise ValueError(f"unknown tta mode: {tta!r}")
@@ -275,7 +281,14 @@ def eval_model(db, extractor: FeatureExtractor, trfs="", *, pooling="mean",
     if aqe is not None:
         qdescs = np.asarray(ops.expand_queries(qdescs, bdescs, **aqe))
 
-    scores = np.asarray(ops.compute_scores(qdescs, bdescs))
+    if score_chunk is None and bdescs.size > 2 ** 28:
+        # auto: chunk so one dispatch streams ~1 GB of fp32 DB rows
+        score_chunk = max(4096, 2 ** 28 // max(1, bdescs.shape[1]))
+    if score_chunk:
+        scores = ops.compute_scores_chunked(qdescs, bdescs,
+                                            chunk=int(score_chunk))
+    else:
+        scores = np.asarray(ops.compute_scores(qdescs, bdescs))
 
     res: dict = {}
     try:

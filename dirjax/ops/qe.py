@@ -137,21 +137,29 @@ def expand_queries_chunked(qdescs, db_descs, alpha: float = 3.0, k: int = 10,
 def expand_database_chunked(db_descs, alpha: float = 3.0, k: int = 10, *,
                             row_block: int = 4096, db_chunk: int = 131072):
     """ADBA at scale: both the query rows (the database itself) and the
-    scored columns stream in blocks — peak memory O(row_block * db_chunk)
-    similarities plus the output, never (Nd, Nd).
+    scored columns stream in blocks, and each expanded block is pulled to
+    HOST as it completes — peak DEVICE memory is the database itself plus
+    O(row_block * db_chunk) similarities and one (row_block, D) fp32
+    block, never the (Nd, D) fp32 output (8 GB at 1M x 2048, which would
+    not fit HBM next to a 4 GB database).
 
-    Equivalent to :func:`expand_database` (self-similarity zeroed before
-    the top-k, reference test_dir.py:33-34)."""
+    Returns a host ``np.ndarray`` (float32). Equivalent to
+    :func:`expand_database` (self-similarity zeroed before the top-k,
+    reference test_dir.py:33-34)."""
+    import numpy as np
+
     db_descs = jnp.asarray(db_descs)
-    n = db_descs.shape[0]
+    n, d = db_descs.shape
     k = min(int(k), n)
-    out = []
+    out = np.empty((n, d), np.float32)
     for row0 in range(0, n, row_block):
-        rows = db_descs[row0:min(row0 + row_block, n)]
+        hi = min(row0 + row_block, n)
+        rows = db_descs[row0:hi]
         vals, idxs = _streaming_topk(rows, db_descs, k, db_chunk, row0=row0)
-        out.append(_expand_from_topk(rows.astype(jnp.float32), db_descs,
-                                     vals, idxs, alpha, k))
-    return jnp.concatenate(out, axis=0)
+        out[row0:hi] = np.asarray(
+            _expand_from_topk(rows.astype(jnp.float32), db_descs,
+                              vals, idxs, alpha, k))
+    return out
 
 
 def expand_queries_quantized(qdescs, db_i8, db_scales, alpha: float = 3.0,

@@ -1,15 +1,43 @@
-"""Fused similarity + top-k Pallas kernel for the serving path.
+"""Fused similarity + top-k Pallas kernels for the serving path.
 
 Replaces the reference's rank-then-sort on a materialized score matrix
-(``common.py:30-38`` + numpy argsort): the database streams through VMEM in
-row tiles, each tile's scores are produced on the MXU and immediately
-reduced to a per-tile top-k in VMEM — the (Nq, Nd) score matrix never
-touches HBM. For a 1M x 2048 database that saves ~4 GB of HBM traffic per
-100-query batch; the final merge of per-tile candidates is a tiny XLA
-``top_k`` over (Nq, tiles*k).
+(``common.py:30-38`` + numpy argsort). Two designs, picked by ``k``:
+
+* ``_fused`` (small k): the database streams through VMEM in row tiles,
+  each tile's scores are produced on the MXU and immediately reduced to a
+  per-tile top-k by an in-kernel iterative selection — nothing but the
+  (Nq, tiles*k) candidates ever reaches HBM.
+* ``_hierarchical`` (large k / int8): phase 1 streams the database once
+  and emits ONLY per-8-row fine-block score maxima (Nd/8 values per
+  query; 128 MB fp32 at nq=256 over 1M rows, where the earlier design
+  wrote the full 1 GB (nq, Nd) fp32 score matrix). Phase 2 descends the
+  maxima hierarchy (tile -> 16-block chunk -> fine block) with three
+  NARROW ``lax.top_k`` calls (widths #tiles / k·8 / k·16 — all sub-ms,
+  vs 2-4 ms for the k·128-wide sorts of the score-matrix design), then a
+  Pallas gather kernel DMAs each query's k winning fine blocks (one
+  contiguous 32 KB copy per block) straight into VMEM and rescores them
+  on the MXU — the candidate rows never round-trip through HBM (the XLA
+  gather + batched-matvec formulation of the same recompute measured
+  ~13 ms at nq=256; see PERF_NOTES.md). A ragged tail (< 8 rows) is
+  scored densely and merged in the finish step.
+
+Exactness: an element of the true top-k scores >= the k-th best, so the
+max of any group containing it does too; at most k disjoint groups can
+clear that bar, hence the top-k groups by max provably contain the full
+answer — applied at every level of the hierarchy. Phase 2 recomputes
+candidate scores with the same bf16-input/fp32-accumulate contraction the
+phase-1 kernel uses, so the maxima and the recomputed scores agree.
 
 Exact-mAP evaluation still uses :func:`dirjax.ops.compute_scores` (the
 protocols need full score rows for junk removal, SURVEY.md §7).
+
+A note on what is NOT here: an earlier round carried ``topk_select``, an
+in-VMEM iterative k-round selection kernel meant to replace ``lax.top_k``
+in phase 2. Compiling it wedged the chip for ~40 min on the current
+axon/Mosaic toolchain (PERF_NOTES.md hazard log) even at tiny aligned
+shapes, so it stayed interpret-only dead weight. The hierarchy above is
+the redesign that makes the selection cheap with plain ``lax.top_k`` —
+no new kernel pattern, no wedge exposure.
 """
 
 from __future__ import annotations
@@ -22,103 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rank_topk_fused", "quantize_db", "topk_select"]
-
-
-def _select_kernel(x_ref, vals_ref, idxs_ref, scratch, *, k):
-    """Iterative exact top-k of a VMEM-resident row block: k rounds of
-    (row-max -> first-winner index -> knock out winner). XLA's lax.top_k
-    lowers to a full sort (~3.5 ms at (256, 12800) on v5e); this selection
-    touches only VMEM and costs O(k * rows * n) VPU ops (~0.3 ms there)."""
-    scratch[...] = x_ref[...]
-    rows, n = scratch.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
-    big = jnp.int32(2 ** 30)
-    neg = jnp.float32(-jnp.inf)
-    vals_ref[...] = jnp.full_like(vals_ref, neg)
-    idxs_ref[...] = jnp.full_like(idxs_ref, -1)
-
-    def body(i, _):
-        s = scratch[...]
-        best = jnp.max(s, axis=1)
-        # first-winner via min-index-where (argmax along lanes miscompiles
-        # on this Mosaic toolchain)
-        winner = s >= best[:, None]
-        arg = jnp.min(jnp.where(winner, col, big), axis=1).astype(jnp.int32)
-        write = lane == i                       # dynamic single-lane stores
-        vals_ref[...] = jnp.where(write, best[:, None], vals_ref[...])
-        idx_val = jnp.where(best > neg, arg, -1)
-        idxs_ref[...] = jnp.where(write, idx_val[:, None], idxs_ref[...])
-        scratch[...] = jnp.where(col == arg[:, None], neg, s)
-        return 0
-
-    jax.lax.fori_loop(0, k, body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("k", "row_block", "interpret"))
-def topk_select(x, k: int, row_block: Optional[int] = None,
-                interpret: Optional[bool] = None
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact ``lax.top_k`` replacement for moderate widths (n up to ~100k).
-
-    Returns (values, indices) sorted descending, like ``lax.top_k``; ties
-    resolve to the lowest index (same as XLA's stable sort). Rows beyond the
-    k-th finite entry get value -inf / index -1. Grid-parallel over row
-    blocks; each block's columns live wholly in VMEM.
-
-    .. warning:: EXPERIMENTAL — exact in interpret mode (tested), but on
-       the current axon/Mosaic toolchain compiling this kernel WEDGES the
-       TPU (PERF_NOTES.md hazard log; reproduces even at tiny aligned
-       shapes, so it is not a tiling-rule violation). Do not call it on
-       the real chip until the toolchain moves; the ranking phase 2
-       deliberately still uses ``lax.top_k``.
-    """
-    nq, n = x.shape
-    if interpret is None:
-        if jax.default_backend() == "tpu":
-            # compiling this kernel wedges the chip on the current
-            # toolchain (see the warning above / PERF_NOTES.md); make the
-            # hazard an explicit opt-in instead of the default
-            raise RuntimeError(
-                "topk_select is interpret-only on this TPU toolchain "
-                "(compiling it wedges the chip — PERF_NOTES.md hazard "
-                "log). Pass interpret=False explicitly to try anyway, or "
-                "use jax.lax.top_k.")
-        interpret = True
-    if k > n:
-        raise ValueError(f"k={k} > n={n}")
-    x = x.astype(jnp.float32)
-    if n % 128:
-        # keep every kernel shape lane-aligned (a ragged scratch lane dim
-        # HUNG the chip on this toolchain); -inf pad lanes never win
-        x = jnp.pad(x, ((0, 0), (0, 128 - n % 128)),
-                    constant_values=-jnp.inf)
-        n = x.shape[1]
-    k_pad = ((k + 127) // 128) * 128
-    if row_block is None:
-        # ~2MB input window (+ same-size scratch) per grid step
-        row_block = max(8, min(nq, (2 * 2 ** 20 // max(1, n * 4)) // 8 * 8))
-    grid = (pl.cdiv(nq, row_block),)
-    vals, idxs = pl.pallas_call(
-        functools.partial(_select_kernel, k=k),
-        grid=grid,
-        in_specs=[pl.BlockSpec((row_block, n), lambda r: (r, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((row_block, k_pad), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_block, k_pad), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nq, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((nq, k_pad), jnp.int32),
-        ),
-        scratch_shapes=[pltpu.VMEM((row_block, n), jnp.float32)],
-        interpret=interpret,
-    )(x)
-    return vals[:, :k], idxs[:, :k]
+__all__ = ["rank_topk_fused", "quantize_db"]
 
 
 def _kernel(q_ref, db_ref, vals_ref, idxs_ref, scores_ref, *, k, n_total,
@@ -200,45 +132,59 @@ def _fused(q, db, k: int, tile_rows: int, interpret: bool):
     return merged_vals, merged_idxs
 
 
-def _blockmax_kernel(q_ref, db_ref, scores_ref, bmax_ref, *, n_total,
-                     tile_rows, scale_ref=None):
+# ---------------------------------------------------------------------------
+# hierarchical fine-max path (large k / quantized databases)
+# ---------------------------------------------------------------------------
+
+#: rows per fine block. 8 keeps the in-kernel reshape free (one (8, nq)
+#: hardware tile per fine block) and the per-block DMA contiguous at 32 KB
+#: (bf16, D=2048) in the gather kernel.
+_RPB = 8
+
+
+def _finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows,
+                    scale_ref=None):
+    """One DB tile: MXU scores (transposed layout) + reduction to per-fine-
+    block maxima.
+
+    Fine block ``b`` is the CONSECUTIVE row range ``[b*8, b*8+8)`` — the
+    scores are computed with DB rows on sublanes, so the per-8-row maxima
+    reduce is a free sublane-dim reshape ((tile, nq) -> (tile/8, 8, nq))
+    plus an intra-tile reduce, and phase 2 can fetch each candidate block
+    with one contiguous 32 KB DMA."""
     t = pl.program_id(0)
-    db = db_ref[...]
-    if db.dtype == jnp.int8:
-        # int8 DB rows: widen on the VPU (exact in bf16: |x| <= 127), dot on
-        # the MXU, then undo the per-row quantization scale on the score tile
-        db = db.astype(jnp.bfloat16)
+    # int8 DB rows feed the dot DIRECTLY: Mosaic fuses the int8->bf16
+    # convert into the MXU pipeline (bit-identical to an explicit VPU
+    # widen, measured ~0.7 ms faster at 1M x 2048); the per-row
+    # quantization scale is undone on the score tile afterwards
     scores = jax.lax.dot_general(
-        q_ref[...], db,
+        db_ref[...], q_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (Nq, Nt)
+        preferred_element_type=jnp.float32)           # (tile, nq)
     if scale_ref is not None:
-        scores = scores * scale_ref[...]              # (1, Nt) broadcast
-    nq, nt = scores.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (nq, nt), 1) + t * tile_rows
-    scores = jnp.where(col < n_total, scores, -jnp.inf)
-    scores_ref[...] = scores
-    # per-tile block maxima, padded to the 128-lane tile (Mosaic alignment);
-    # pad lanes are -inf so phase 2 never selects them
-    bm = jnp.max(scores.reshape(nq, nt // 128, 128), axis=-1)
-    bmax_ref[...] = jnp.pad(bm, ((0, 0), (0, 128 - nt // 128)),
-                            constant_values=-jnp.inf)
+        scores = scores * scale_ref[...]              # (tile, 1) broadcast
+    nt, nq = scores.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (nt, nq), 0) + t * tile_rows
+    scores = jnp.where(row < n_total, scores, -jnp.inf)
+    fmax_ref[...] = scores.reshape(nt // _RPB, _RPB, nq).max(axis=1)
 
 
-def _scaled_kernel(q_ref, db_ref, scale_ref, scores_ref, bmax_ref, *,
-                   n_total, tile_rows):
-    _blockmax_kernel(q_ref, db_ref, scores_ref, bmax_ref, n_total=n_total,
-                     tile_rows=tile_rows, scale_ref=scale_ref)
+def _scaled_finemax_kernel(q_ref, db_ref, scale_ref, fmax_ref, *, n_total,
+                           tile_rows):
+    _finemax_kernel(q_ref, db_ref, fmax_ref, n_total=n_total,
+                    tile_rows=tile_rows, scale_ref=scale_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("n_valid", "tile_rows"))
-def _blockmax_phase1(q, db, n_valid: int, tile_rows: int, scales=None):
-    """Pallas pass: stream DB tiles, emit fp32 scores + per-128-column block
-    maxima (padded to the 128-lane tile). ``scales`` (1, Nd) rescales the
-    score columns of an int8-quantized DB."""
+def _finemax_phase1(q, db, n_valid: int, tile_rows: int, scales=None):
+    """Pallas pass: stream DB tiles, emit ONLY the (tiles*tile/8, nq) fp32
+    fine-block maxima — the (Nq, Nd) score matrix never touches HBM.
+    ``scales`` (1, Nd) rescales the score rows of an int8 DB (fed to the
+    kernel as an (Nd, 1) column so it broadcasts over the transposed
+    score tile)."""
     nq, d = q.shape
     tiles = pl.cdiv(db.shape[0], tile_rows)
-    nd_pad = tiles * tile_rows
+    fpt = tile_rows // _RPB                 # fine blocks per tile
     in_specs = [
         pl.BlockSpec((nq, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_rows, d), lambda t: (t, 0),
@@ -246,80 +192,266 @@ def _blockmax_phase1(q, db, n_valid: int, tile_rows: int, scales=None):
     ]
     args = (q, db)
     if scales is None:
-        kernel = functools.partial(_blockmax_kernel, n_total=n_valid,
+        kernel = functools.partial(_finemax_kernel, n_total=n_valid,
                                    tile_rows=tile_rows)
     else:
-        kernel = functools.partial(_scaled_kernel, n_total=n_valid,
+        kernel = functools.partial(_scaled_finemax_kernel, n_total=n_valid,
                                    tile_rows=tile_rows)
-        in_specs.append(pl.BlockSpec((1, tile_rows), lambda t: (0, t),
+        in_specs.append(pl.BlockSpec((tile_rows, 1), lambda t: (t, 0),
                                      memory_space=pltpu.VMEM))
-        args = (q, db, scales)
+        args = (q, db, scales.reshape(-1, 1))
     return pl.pallas_call(
         kernel,
         grid=(tiles,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((nq, tile_rows), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, 128), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nq, nd_pad), jnp.float32),
-            jax.ShapeDtypeStruct((nq, tiles * 128), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((fpt, nq), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles * fpt, nq), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
-def _blockmax_phase2(scores, bmax, k: int, tile_rows: int):
-    """Select top-k blocks from the maxima, gather their candidates, finish."""
-    nq, nd_pad = scores.shape
-    tiles = nd_pad // tile_rows
-    blocks_per_tile = tile_rows // 128
-    kb = min(k, nd_pad // 128)
-    # drop the per-tile lane padding before the (host-sized) top-k
-    bm = bmax.reshape(nq, tiles, 128)[:, :, :blocks_per_tile]
-    bm = bm.reshape(nq, tiles * blocks_per_tile)
-    _, block_idx = jax.lax.top_k(bm, kb)                        # (Nq, kb)
-    # gather whole 128-wide blocks through the 3D view: lowers to contiguous
-    # 512B block copies (take_along_axis over flattened columns measured
-    # ~55x slower here)
-    scores3 = scores.reshape(nq, nd_pad // 128, 128)
-    cand = jax.vmap(lambda s, i: jnp.take(s, i, axis=0))(scores3, block_idx)
-    cand = cand.reshape(nq, kb * 128)
-    vals, sel = jax.lax.top_k(cand, k)
-    cols = (block_idx[:, :, None] * 128
-            + jnp.arange(128, dtype=jnp.int32)[None, None, :]).reshape(nq, -1)
-    idxs = jnp.take_along_axis(cols, sel, axis=1)
+def _kf_pad(kf: int) -> int:
+    """Pad the fine-block candidate count so kf_pad * 8 rows is a 128-lane
+    multiple (16 blocks = 128 rows)."""
+    return ((kf + 15) // 16) * 16
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows", "n_valid"))
+def _hier_select(fmax, k: int, tile_rows: int, n_valid: int):
+    """Descend the maxima hierarchy to the winning fine-block ids.
+
+    Selection levels (each provably containing the full top-k, see module
+    docstring): tile maxima (width = #tiles) -> 16-fine-block chunks of
+    the k winning tiles -> fine blocks of the k winning chunks. Returns
+    ``(bids, vmask)``: ``bids (nq, kf_pad) int32`` global fine-block ids
+    (block b = DB rows [b*8, b*8+8)), zero-padded past ``kf``, and
+    ``vmask (nq, kf_pad) bool`` marking genuine candidates (pads and
+    -inf selections False) — every id is gather-safe either way."""
+    fpt = tile_rows // _RPB
+    tiles = fmax.shape[0] // fpt
+    nq = fmax.shape[1]
+    nb_main = n_valid // _RPB     # fine blocks fully inside the database
+    F = fmax.T.reshape(nq, tiles, fpt)            # one 128MB transpose
+    # blocks straddling the ragged tail are scored densely by the finish
+    # stage instead (their 32KB gather would read past the database)
+    bid = jax.lax.broadcasted_iota(jnp.int32, (1, tiles, fpt), 1) * fpt + \
+        jax.lax.broadcasted_iota(jnp.int32, (1, tiles, fpt), 2)
+    F = jnp.where(bid < nb_main, F, -jnp.inf)
+    # level 0: whole tiles
+    kc = min(k, tiles)
+    _, c_idx = jax.lax.top_k(F.max(axis=2), kc)             # (nq, kc)
+    G = jnp.take_along_axis(F, c_idx[:, :, None], axis=1)   # (nq, kc, fpt)
+    # level 1: 16-fine-block chunks within the winning tiles
+    G16 = G.reshape(nq, kc * (fpt // 16), 16)
+    ks = min(k, kc * (fpt // 16))
+    _, s_idx = jax.lax.top_k(G16.max(axis=2), ks)
+    H = jnp.take_along_axis(G16, s_idx[:, :, None], axis=1)  # (nq, ks, 16)
+    # level 2: fine blocks within the winning chunks
+    kf = min(k, ks * 16)
+    h_val, h_sel = jax.lax.top_k(H.reshape(nq, ks * 16), kf)  # (nq, kf)
+    sc = jnp.take_along_axis(s_idx, h_sel // 16, axis=1)    # chunk id
+    f = (sc % (fpt // 16)) * 16 + h_sel % 16                # fine-in-tile
+    t_sel = jnp.take_along_axis(c_idx, sc // (fpt // 16), axis=1)
+    bids = t_sel * fpt + f                                  # global blocks
+    # a -inf selection means k exceeded the finite blocks (tiny database):
+    # its id is arbitrary — clip for DMA safety, mask out of the answer
+    vmask = h_val > -jnp.inf
+    bids = jnp.clip(bids, 0, max(nb_main - 1, 0))
+    pad = _kf_pad(kf) - kf
+    if pad:
+        bids = jnp.pad(bids, ((0, 0), (0, pad)))            # 0 = DMA-safe
+        vmask = jnp.pad(vmask, ((0, 0), (0, pad)))          # False = masked
+    return bids, vmask
+
+
+#: candidate fine blocks fetched per pipeline step (one 16-block level-1
+#: chunk: C*8 = 128 rows = a 128-lane-aligned slice of the output row)
+_GC = 16
+
+
+def _gather_score_kernel(bids_ref, q_ref, *rest, qb):
+    """Grid (nq/qb, kf_pad/16, qb): step (g, jc, i) scores candidate chunk
+    ``jc`` (16 fine blocks = 128 rows) of query ``g*qb+i``.
+
+    The 16 (8, D) candidate blocks arrive as pipelined INPUT BLOCKS whose
+    index maps read the scalar-prefetched ``bids`` — Pallas's own
+    double-buffered pipeline keeps the 16 copies of step s+1 in flight
+    while step s computes (a manual make_async_copy/semaphore version of
+    this kernel measured 122 ms for the same 840 MB at nq=256: the
+    hand-rolled DMA chain serialized; the pipeline does not). One
+    (qb, D) x (128, D)^T MXU dot per step; row ``i`` is kept via sublane
+    select (dynamic single-row stores don't lower on this toolchain).
+    The candidate rows never round-trip through HBM — the XLA gather +
+    batched-matvec formulation measured ~13 ms at nq=256."""
+    cand_refs, out_ref = rest[:_GC], rest[_GC]
+    i = pl.program_id(2)
+    c = jnp.concatenate([r[...] for r in cand_refs], axis=0)  # (128, D)
+    if c.dtype == jnp.int8:
+        c = c.astype(jnp.bfloat16)
+    prec = (jax.lax.Precision.HIGHEST if c.dtype == jnp.float32 else None)
+    # all qb queries against query i's candidates (trivial extra MXU work)
+    s = jax.lax.dot_general(
+        q_ref[...], c, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)   # (qb, 128)
+    rowidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = s
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[...] = jnp.where(rowidx == i, s, out_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("qb",))
+def _ids_by_step(bids, qb: int):
+    """(ng, kf_pad/16, qb, 16) block-id array, one scalar per (grid step,
+    candidate input): the pipeline index maps become pure loads with no
+    arithmetic (arithmetic-bearing scalar index maps hung the Mosaic
+    compile on this toolchain — hazard log)."""
+    nq, kf_pad = bids.shape
+    ng = -(-nq // qb)
+    pad = ng * qb - nq
+    if pad:   # ragged last group: repeat the final query (rows masked)
+        bids = jnp.concatenate(
+            [bids, jnp.tile(bids[-1:], (pad, 1))], axis=0)
+    return bids.reshape(ng, qb, kf_pad // _GC, _GC).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gather_scores(q, db, bids, interpret: bool):
+    """Pallas gather+score: raw (nq, kf_pad*8) fp32 candidate scores.
+
+    Jitted so the _GC aliased ``db`` operands of the pallas_call collapse
+    into ONE parameter — called eagerly, PJRT's compile-time HBM
+    accounting charges the database once per operand (61 GB at 1M x 2048
+    bf16) and refuses to compile."""
+    nq, d = q.shape
+    kf_pad = bids.shape[1]
+    qb = 8 if nq >= 8 else nq
+    ng = pl.cdiv(nq, qb)
+    ids4 = _ids_by_step(bids, qb)
+
+    def cand_spec(c):
+        return pl.BlockSpec((_RPB, d),
+                            lambda g, jc, i, ids_, c=c: (ids_[g, jc, i, c], 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng, kf_pad // _GC, qb),
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda g, jc, i, ids_: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [cand_spec(c) for c in range(_GC)],
+        out_specs=pl.BlockSpec((qb, _GC * _RPB),
+                               lambda g, jc, i, ids_: (g, jc),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_score_kernel, qb=qb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nq, kf_pad * _RPB), jnp.float32),
+        interpret=interpret,
+    )(ids4, q, *([db] * _GC))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_valid"))
+def _recompute_xla(q, db, bids, vmask, k: int, n_valid: int, scales=None):
+    """XLA fallback for the gather+score+finish stages (CPU / interpret):
+    same candidate blocks, same contraction, same tail handling."""
+    nq, kf_pad = bids.shape
+    rows = (bids[:, :, None] * _RPB
+            + jnp.arange(_RPB, dtype=jnp.int32)[None, None, :]
+            ).reshape(nq, kf_pad * _RPB)
+    safe = jnp.clip(rows, 0, db.shape[0] - 1)
+    cand = jnp.take(db, safe.reshape(-1), axis=0).reshape(
+        nq, kf_pad * _RPB, -1)
+    if cand.dtype == jnp.int8:
+        cand = cand.astype(jnp.bfloat16)
+    prec = (jax.lax.Precision.HIGHEST
+            if cand.dtype == jnp.float32 else None)
+    raw = jax.lax.dot_general(
+        cand, q.astype(cand.dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=prec, preferred_element_type=jnp.float32)
+    return _finish_from_raw(q, db, bids, vmask, raw, k, n_valid, scales)
+
+
+def _finish_from_raw(q, db, bids, vmask, raw, k: int, n_valid: int,
+                     scales=None):
+    """Mask non-candidates, rescale int8, score the ragged tail densely,
+    final top-k.
+
+    ``vmask`` marks genuine candidate blocks — pad/-inf lanes repeat some
+    real block's rows (their ids were clipped for DMA safety), so they
+    must be masked by POSITION or that block could appear twice."""
+    nq, kf_pad = bids.shape
+    nb_main = n_valid // _RPB
+    rows = (bids[:, :, None] * _RPB
+            + jnp.arange(_RPB, dtype=jnp.int32)[None, None, :]
+            ).reshape(nq, kf_pad * _RPB)
+    if scales is not None:
+        # gather scales per BLOCK (32B chunks), not per element — the
+        # flat element gather of (nq, kf_pad*8) scales measured ~3ms at
+        # nq=256 and made int8 slower than bf16 end-to-end
+        s = scales.reshape(-1)
+        nb_pad = -(-s.shape[0] // _RPB) * _RPB
+        if nb_pad != s.shape[0]:
+            s = jnp.pad(s, (0, nb_pad - s.shape[0]))
+        s8 = s.reshape(-1, _RPB)
+        picked = jnp.take(s8, jnp.clip(bids, 0, s8.shape[0] - 1), axis=0)
+        raw = raw * picked.reshape(nq, kf_pad * _RPB)
+    valid = jnp.repeat(vmask, _RPB, axis=1)
+    scores = jnp.where(valid, raw, -jnp.inf)
+    tail = n_valid - nb_main * _RPB
+    if tail:
+        trows = db[nb_main * _RPB: n_valid].astype(jnp.float32)
+        if scales is not None:
+            tscales = scales.reshape(-1)[nb_main * _RPB: n_valid]
+            trows = trows * tscales[:, None]
+        prec = (jax.lax.Precision.HIGHEST
+                if db.dtype == jnp.float32 else None)
+        tscore = jnp.matmul(q.astype(jnp.float32), trows.T, precision=prec,
+                            preferred_element_type=jnp.float32)
+        scores = jnp.concatenate([scores, tscore], axis=1)
+        rows = jnp.concatenate(
+            [rows, jnp.tile(jnp.arange(nb_main * _RPB, n_valid,
+                                       dtype=jnp.int32)[None, :], (nq, 1))],
+            axis=1)
+    vals, pos = jax.lax.top_k(scores, k)
+    idxs = jnp.take_along_axis(rows, pos, axis=1)
     return vals, idxs
 
 
-def _blockmax(q, db, k: int, tile_rows: int, scales=None):
-    """Two-phase exact top-k.
+@functools.partial(jax.jit, static_argnames=("k", "n_valid"))
+def _hier_finish(q, db, bids, vmask, raw, k: int, n_valid: int,
+                 scales=None):
+    return _finish_from_raw(q, db, bids, vmask, raw, k, n_valid, scales)
 
-    Phase 1 (Pallas): stream DB tiles, write fp32 scores + per-128-column
-    block maxima. Phase 2 (XLA): top-k over block maxima — any element of
-    the true top-k has value >= the k-th best element, so its block max
-    does too, and every block whose max clears that bar contains a top-k
-    element; hence at most k blocks can, and the top-k blocks provably
-    contain the full answer — then gather those k*128 candidates and finish
-    with a tiny top-k. Replaces the O(k*Nq*Nd) in-kernel selection loop
-    with O(Nq*Nd/128) reduction work.
 
-    The phases are SEPARATE jits on purpose: fused into one computation,
-    XLA schedules the gather pathologically (measured 2x slower end-to-end).
-    Calling this under an outer jit re-fuses them — prefer the eager path
-    for serving.
+def _hierarchical(q, db, k: int, tile_rows: int, scales=None):
+    """Exact top-k: fine-max stream + hierarchical select + fused
+    gather/rescore.
+
+    The stages are SEPARATE jits on purpose: fused into one computation,
+    XLA schedules the candidate gather pathologically (measured 2x slower
+    end-to-end with the earlier score-matrix design). Calling this under
+    an outer jit re-fuses them — prefer the eager path for serving.
     """
     nd = db.shape[0]
     assert tile_rows % 128 == 0 and tile_rows <= 128 * 128
     # NB: no jnp.pad of the database — that would copy the full (multi-GB)
     # matrix on every call. Pallas handles the ragged last tile; rows past
     # n_valid are masked to -inf inside the kernel.
-    scores, bmax = _blockmax_phase1(q, db, nd, tile_rows, scales)
-    return _blockmax_phase2(scores, bmax, k, tile_rows)
+    fmax = _finemax_phase1(q, db, nd, tile_rows, scales)
+    bids, vmask = _hier_select(fmax, k, tile_rows, nd)
+    if jax.default_backend() == "tpu":
+        raw = _gather_scores(q, db, bids, interpret=False)
+        return _hier_finish(q, db, bids, vmask, raw, k, nd, scales)
+    return _recompute_xla(q, db, bids, vmask, k, nd, scales)
 
 
 @jax.jit
@@ -384,14 +516,14 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
         bytes_per_row = db.shape[1] * db.dtype.itemsize
         tile_rows = max(256, (4 * 2 ** 20 // bytes_per_row) // 256 * 256)
         if quantized:
-            # int8 rows are so small that the 4MB-tile rule doubles
-            # tile_rows — and with it the (nq, tile_rows) fp32 score
-            # window, which at nq=256 blows the 16MB VMEM. Fit the whole
-            # working set (double-buffered db tile + score window + q)
-            # into a ~12MB budget instead.
+            # int8 rows stream small, but the kernel also holds a widened
+            # bf16 copy of the tile plus the fp32 score tile; fit the
+            # working set (double-buffered int8 tile + bf16 widened copy +
+            # transposed fp32 scores + q) into a ~12MB VMEM budget
+            # (tile 2048 at D=2048/nq=256 exceeds scoped vmem: measured).
             q_bytes = q.shape[0] * db.shape[1] * 2
             budget = 12 * 2 ** 20 - q_bytes
-            fit = budget // (2 * bytes_per_row + 8 * q.shape[0])
+            fit = budget // (4 * bytes_per_row + 4 * q.shape[0])
             tile_rows = max(256, min(tile_rows, fit // 256 * 256))
     if quantized:
         q = q.astype(jnp.bfloat16)
@@ -408,13 +540,13 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
                             preferred_element_type=jnp.float32)
         return jax.lax.top_k(scores, k)
     tile_rows = min(tile_rows, max(256, db.shape[0] // 256 * 256) or 256)
-    # blockmax trades an (Nq, Nd) fp32 score buffer for O(Nd/128) selection
-    # work — measured 2x faster at k=100; the in-kernel iterative selection
-    # wins for small k and avoids the buffer
+    # the hierarchical path trades the in-kernel O(k*Nq*tile) selection loop
+    # for O(Nq*tile/128) reduction work + a tiny recompute; the in-kernel
+    # iterative selection wins for small k (no second pass at all)
     if db.shape[0] >= tile_rows and tile_rows % 128 == 0 and \
             (k > 16 or quantized):
-        return _blockmax(q, db, k, tile_rows,
-                         scales if quantized else None)
+        return _hierarchical(q, db, k, tile_rows,
+                             scales if quantized else None)
     if quantized:
         # small quantized DB: eager fallback (the iterative kernel has no
         # scaled variant; at this size the dense path is already cheap)

@@ -435,7 +435,8 @@ def _retrieval_monitor(res: dict) -> Optional[float]:
 def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
         out_dir: Optional[str] = None, dtype=jnp.float32,
         steps_per_epoch: Optional[int] = None, progress: bool = False,
-        resume: Optional[str] = None, eval_dataset=None, eval_trfs: str = ""):
+        resume: Optional[str] = None, eval_dataset=None, eval_trfs: str = "",
+        mesh=None):
     """Fine-tune on a labeled dataset; returns (model, params, history).
 
     ``resume``: path to a checkpoint.npz written by a previous fit — params,
@@ -444,7 +445,14 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
 
     ``eval_dataset``: a retrieval benchmark evaluated each epoch; its mAP
     is recorded in the history and becomes the best-checkpoint monitor
-    (preferred over val_loss — select by the metric you deploy on)."""
+    (preferred over val_loss — select by the metric you deploy on).
+
+    ``mesh``: a ``jax.sharding.Mesh`` (e.g. ``parallel.make_mesh(4, 2)``)
+    — the train step runs SPMD via :func:`make_sharded_train_step`: batch
+    rows DP-sharded over "data", the FC projection TP-sharded over "db",
+    GSPMD inserting the ICI collectives (the multi-chip replacement for
+    the reference's ``nn.DataParallel``, common.py:150-175). Ragged
+    batches are truncated to a multiple of the "data" axis size."""
     model = create_model(cfg.arch, out_dim=cfg.out_dim)
     if params is None:
         params = model.init(jax.random.PRNGKey(cfg.seed))
@@ -479,7 +487,14 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
     opt_state = tx.init(params)
     if opt_path and os.path.exists(opt_path):
         opt_state = _load_opt_state(opt_path, opt_state)
-    if cfg.microbatch:
+    shard_args = None
+    if mesh is not None:
+        step, shard_args = make_sharded_train_step(model, cfg, tx, mesh,
+                                                   dtype=dtype)
+        n_data = mesh.shape["data"]
+        assert cfg.batch_size % n_data == 0, \
+            f"batch_size {cfg.batch_size} must divide by data axis {n_data}"
+    elif cfg.microbatch:
         step = make_two_pass_train_step(model, cfg, tx, dtype=dtype)
     else:
         step = make_train_step(model, cfg, tx, dtype=dtype)
@@ -504,16 +519,25 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
             if len(batch.indices) < 2:
                 continue
             images, labels = batch.images, batch.fields["label"]
-            if cfg.microbatch:
-                # leftover group batches: truncate to a microbatch multiple
-                # (the balanced sampler re-draws them next epoch)
-                keep = len(images) // cfg.microbatch * cfg.microbatch
+            # leftover group batches: truncate to a microbatch and/or
+            # data-axis multiple (the balanced sampler re-draws them next
+            # epoch)
+            multiple = max(1, cfg.microbatch)
+            if mesh is not None:
+                import math
+
+                multiple = math.lcm(multiple, mesh.shape["data"])
+            if multiple > 1:
+                keep = len(images) // multiple * multiple
                 if keep < 2:
                     continue
                 images, labels = images[:keep], labels[:keep]
-            labels = jnp.asarray(labels)
+            images, labels = jnp.asarray(images), jnp.asarray(labels)
+            if shard_args is not None:
+                params, opt_state, images, labels = shard_args(
+                    params, opt_state, images, labels)
             params, opt_state, loss_val = step(
-                params, opt_state, jnp.asarray(images), labels)
+                params, opt_state, images, labels)
             epoch_losses.append(float(loss_val))
         mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         record = {"epoch": epoch, "loss": mean_loss}

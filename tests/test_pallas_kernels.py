@@ -75,74 +75,101 @@ class TestFusedTopK:
                                       (-scores).argsort(axis=1)[:, :7])
 
 
-class TestBlockMaxTopK:
+class TestHierarchicalTopK:
+    """Fine-max stream (phase 1) + hierarchical recompute (phase 2) — the
+    large-k serving path. Phase 1 writes only per-fine-block maxima; the
+    answer must still be EXACTLY lax.top_k over the dense scores."""
+
     @pytest.mark.parametrize("nd,tile,k", [(1024, 256, 5), (1000, 256, 10),
-                                           (4096, 512, 100), (300, 256, 7)])
+                                           (4096, 512, 100), (300, 256, 7),
+                                           (2048, 256, 1), (5000, 1024, 64)])
     def test_matches_lax_topk(self, rng, nd, tile, k):
-        from dirjax.ops.topk_pallas import _blockmax
+        from dirjax.ops.topk_pallas import _hierarchical
 
         nq, d = 8, 128
         q = rng.normal(size=(nq, d)).astype(np.float32)
         db = rng.normal(size=(nd, d)).astype(np.float32)
-        vals, idxs = _blockmax(jnp.asarray(q), jnp.asarray(db), k, tile)
+        vals, idxs = _hierarchical(jnp.asarray(q), jnp.asarray(db), k, tile)
         want_vals, want_idxs = jax.lax.top_k(jnp.asarray(q @ db.T), k)
         np.testing.assert_allclose(np.asarray(vals), np.asarray(want_vals),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))
 
-    def test_adversarial_one_block_holds_all(self, rng):
-        """All top-k concentrated in a single 128-column block."""
-        from dirjax.ops.topk_pallas import _blockmax
+    def test_adversarial_one_fine_block_holds_all(self, rng):
+        """All top-k concentrated in a single fine block (one consecutive
+        8-row range) — the worst case for the containment argument."""
+        from dirjax.ops.topk_pallas import _hierarchical
 
-        nq, d, nd, k = 2, 64, 1024, 8
+        nq, d, nd, k = 2, 64, 2048, 8
+        tile = 512
         q = rng.normal(size=(nq, d)).astype(np.float32)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         db = rng.normal(size=(nd, d)).astype(np.float32) * 0.01
-        # rows 256..263 are scaled copies of the queries -> dominate block 2
-        for j in range(k // 2):
-            db[256 + j] = q[0] * (1.0 + j)
-            db[260 + j] = q[1] * (1.0 + j)
-        vals, idxs = _blockmax(jnp.asarray(q), jnp.asarray(db), k, 256)
+        base = tile * 1 + 37 * 8         # fine block 37 of tile 1
+        for j in range(8):               # rows base..base+7
+            db[base + j] = q[0] * (1.0 + j)
+        vals, idxs = _hierarchical(jnp.asarray(q), jnp.asarray(db), k, tile)
+        want_vals, want_idxs = jax.lax.top_k(jnp.asarray(q @ db.T), k)
+        np.testing.assert_array_equal(np.asarray(idxs)[0],
+                                      np.asarray(want_idxs)[0])
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(want_vals),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_adversarial_spread_one_per_tile(self, rng):
+        """Top-k spread over exactly k distinct tiles (forces the level-0
+        selection to need all k tiles)."""
+        from dirjax.ops.topk_pallas import _hierarchical
+
+        nq, d, k, tile = 1, 64, 8, 256
+        nd = tile * k
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        db = rng.normal(size=(nd, d)).astype(np.float32) * 0.01
+        for t in range(k):
+            db[t * tile + 7 * t + 3] = q[0] * (2.0 + t)
+        vals, idxs = _hierarchical(jnp.asarray(q), jnp.asarray(db), k, tile)
         want_vals, want_idxs = jax.lax.top_k(jnp.asarray(q @ db.T), k)
         np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))
 
+    def test_ragged_tail_never_selected(self, rng):
+        """Valid rows end mid-tile; indices must stay < Nd even when the
+        query correlates perfectly with garbage-pad directions."""
+        from dirjax.ops.topk_pallas import _hierarchical
 
-class TestTopkSelect:
-    """Iterative exact selection kernel (the lax.top_k replacement inside
-    the two-phase ranking's selection stage)."""
+        nq, d, nd, tile, k = 4, 64, 900, 256, 20
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        db = rng.normal(size=(nd, d)).astype(np.float32)
+        vals, idxs = _hierarchical(jnp.asarray(q), jnp.asarray(db), k, tile)
+        assert np.asarray(idxs).max() < nd
+        want_vals, want_idxs = jax.lax.top_k(jnp.asarray(q @ db.T), k)
+        np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))
 
-    @pytest.mark.parametrize("nq,n,k", [
-        (16, 1000, 10), (7, 7816, 100), (48, 12800, 100),
-        (5, 128, 128), (3, 256, 1),
-    ])
-    def test_matches_lax_topk(self, rng, nq, n, k):
-        from dirjax.ops.topk_pallas import topk_select
+    def test_int8_hierarchical_matches_dense_dequantized(self, rng):
+        from dirjax.ops.topk_pallas import _hierarchical, quantize_db
 
-        x = jnp.asarray(rng.normal(size=(nq, n)).astype(np.float32))
-        v, i = topk_select(x, k)
-        vr, ir = jax.lax.top_k(x, k)
-        np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))
-        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+        nq, d, nd, tile, k = 4, 128, 2048, 256, 32
+        db = rng.normal(size=(nd, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        db8, scales = quantize_db(db)
+        vals, idxs = _hierarchical(jnp.asarray(q, jnp.bfloat16), db8, k,
+                                   tile, scales)
+        # oracle: dense scores over the same quantized values with the same
+        # bf16 query rounding
+        qb = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
+        dense = (qb @ np.asarray(db8, np.float32).T) * np.asarray(scales)
+        want_vals, want_idxs = jax.lax.top_k(jnp.asarray(dense), k)
+        np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(want_vals),
+                                   rtol=1e-3, atol=1e-3)
 
-    def test_ties_take_lowest_index(self):
-        from dirjax.ops.topk_pallas import topk_select
-
-        x = np.zeros((4, 256), np.float32)
-        x[:, 17] = 1.0
-        x[:, 200] = 1.0
-        _, i = topk_select(jnp.asarray(x), 3)
-        assert list(np.asarray(i)[0][:2]) == [17, 200]
-
-    def test_neg_inf_rows_yield_sentinels(self):
-        from dirjax.ops.topk_pallas import topk_select
-
-        x = np.full((2, 256), -np.inf, np.float32)
-        x[0, 3] = 1.0
-        v, i = topk_select(jnp.asarray(x), 2)
-        assert i[0, 0] == 3 and i[0, 1] == -1 and i[1, 0] == -1
-
-    def test_k_exceeds_n_raises(self):
-        from dirjax.ops.topk_pallas import topk_select
-
-        with pytest.raises(ValueError):
-            topk_select(jnp.zeros((2, 64)), 65)
+    def test_dispatcher_large_k_uses_hierarchy(self, rng):
+        """rank_topk_fused with use_pallas routes k>16 through the
+        hierarchical path and still equals the dense oracle."""
+        q = rng.normal(size=(4, 64)).astype(np.float32)
+        db = rng.normal(size=(1024, 64)).astype(np.float32)
+        vals, idxs = rank_topk_fused(q, db, 50, use_pallas=True,
+                                     tile_rows=256)
+        want_vals, want_idxs = jax.lax.top_k(jnp.asarray(q @ db.T), 50)
+        np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))

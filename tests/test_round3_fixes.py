@@ -178,6 +178,26 @@ class TestServingAddConsistency:
         assert list(ids[:, 0]) == [0, 1]
 
 
+class TestChunkedExactEval:
+    def test_chunked_scores_match_dense_map(self, synth, tmp_path):
+        """eval_model with chunked scoring (bounded HBM for >1GB databases)
+        must produce bit-identical mAP to the dense path — junk-aware
+        protocols get full rows either way, just assembled in chunks."""
+        from dirjax.extraction import FeatureExtractor, eval_model
+        from dirjax.models import create_model
+
+        model = create_model("resnet18_rmac", out_dim=16)
+        params = model.init(jax.random.PRNGKey(0))
+        ex = FeatureExtractor(model, params)
+        feats = str(tmp_path / "feats")
+        dense = eval_model(synth, ex, "Scale(48)", threads=2,
+                           score_chunk=0, save_feats=feats)
+        chunked = eval_model(synth, ex, "Scale(48)", threads=2,
+                             score_chunk=7, load_feats=feats)
+        for key in dense:
+            np.testing.assert_allclose(chunked[key], dense[key], atol=1e-7)
+
+
 class TestNativeFastPathContract:
     def test_missing_field_raises_same_as_pil(self, tmp_path):
         from dirjax.data import native
