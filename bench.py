@@ -129,7 +129,7 @@ def bench_descriptor_throughput(arch: str, batch: int, hw, n_iter: int = 16,
 
 def bench_ranking_qps(n_db: int = 1_000_000, dim: int = 2048, nq: int = 64,
                       k: int = 100, n_iter: int = 10, int8: bool = False,
-                      _cache={}):
+                      int8_queries: bool = False, _cache={}):
     """Eager serving pattern: successive query batches dispatched
     back-to-back (async), one sync at the end. NOT wrapped in an outer jit —
     the staged ranking path relies on its internal jit boundaries
@@ -154,7 +154,8 @@ def bench_ranking_qps(n_db: int = 1_000_000, dim: int = 2048, nq: int = 64,
 
     def rank(q_):
         vals, idxs = rank_topk_fused(q_, db, k, use_pallas=True,
-                                     db_scales=scales)
+                                     db_scales=scales,
+                                     quantize_queries=int8_queries)
         return vals
 
     _sync(rank(qs[0]))  # compile + warm
@@ -215,6 +216,10 @@ def main():
             bench_ranking_qps(int8=True), 1)
         extras["ranking_qps_1M_topk100_int8_nq256"] = round(
             bench_ranking_qps(int8=True, nq=256, n_iter=6), 1)
+        # full-int8 (queries quantized too): the int8-MXU serving mode
+        extras["ranking_qps_1M_topk100_int8w8q_nq256"] = round(
+            bench_ranking_qps(int8=True, int8_queries=True, nq=256,
+                              n_iter=6), 1)
         # capacity demo: a 2M x 2048 int8 corpus resident on ONE chip
         # (bf16 could not hold it at all) — every advertised number lives
         # in this artifact

@@ -152,15 +152,32 @@ def _finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows,
     reduce is a free sublane-dim reshape ((tile, nq) -> (tile/8, 8, nq))
     plus an intra-tile reduce, and phase 2 can fetch each candidate block
     with one contiguous 32 KB DMA."""
-    t = pl.program_id(0)
-    # int8 DB rows feed the dot DIRECTLY: Mosaic fuses the int8->bf16
-    # convert into the MXU pipeline (bit-identical to an explicit VPU
-    # widen, measured ~0.7 ms faster at 1M x 2048); the per-row
-    # quantization scale is undone on the score tile afterwards
-    scores = jax.lax.dot_general(
-        db_ref[...], q_ref[...],
+def _score_dot(db_block, q_block):
+    """The one contraction both phases share: DB rows x queries with fp32
+    accumulation. int8 DB rows feed the dot DIRECTLY (Mosaic fuses the
+    int8->bf16 convert into the MXU pipeline; bit-identical to an explicit
+    VPU widen and ~0.7 ms faster at 1M x 2048). Full-int8 (int8 x int8)
+    contracts on the int8 MXU into exact int32, then converts — both
+    phases convert identically, so the containment argument still sees
+    one consistent score per row."""
+    both_int = db_block.dtype == jnp.int8 and q_block.dtype == jnp.int8
+    out = jax.lax.dot_general(
+        db_block, q_block,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (tile, nq)
+        precision=(jax.lax.Precision.HIGHEST
+                   if db_block.dtype == jnp.float32 else None),
+        preferred_element_type=jnp.int32 if both_int else jnp.float32)
+    return out.astype(jnp.float32) if both_int else out
+
+
+def _finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows,
+                    scale_ref=None):
+    # NB: full-int8 mode needs no per-QUERY scale here — a positive
+    # per-query constant cannot change any within-query comparison, so
+    # selection runs on unscaled-by-qs scores and only the returned
+    # values are rescaled (in the finish step)
+    t = pl.program_id(0)
+    scores = _score_dot(db_ref[...], q_ref[...])      # (tile, nq)
     if scale_ref is not None:
         scores = scores * scale_ref[...]              # (tile, 1) broadcast
     nt, nq = scores.shape
@@ -179,9 +196,16 @@ def _scaled_finemax_kernel(q_ref, db_ref, scale_ref, fmax_ref, *, n_total,
 def _finemax_phase1(q, db, n_valid: int, tile_rows: int, scales=None):
     """Pallas pass: stream DB tiles, emit ONLY the (tiles*tile/8, nq) fp32
     fine-block maxima — the (Nq, Nd) score matrix never touches HBM.
+
+    One DB tile per grid step: MXU scores in transposed layout (DB rows
+    on sublanes), so the per-8-CONSECUTIVE-row maxima reduce is a free
+    sublane-dim reshape ((tile, nq) -> (tile/8, 8, nq)) and phase 2 can
+    fetch each candidate block with one contiguous 32 KB DMA.
+
     ``scales`` (1, Nd) rescales the score rows of an int8 DB (fed to the
     kernel as an (Nd, 1) column so it broadcasts over the transposed
-    score tile)."""
+    score tile). In full-int8 mode ``q`` is int8 (per-query scales are
+    applied to the returned values downstream, never to the selection)."""
     nq, d = q.shape
     tiles = pl.cdiv(db.shape[0], tile_rows)
     fpt = tile_rows // _RPB                 # fine blocks per tile
@@ -287,13 +311,17 @@ def _gather_score_kernel(bids_ref, q_ref, *rest, qb):
     cand_refs, out_ref = rest[:_GC], rest[_GC]
     i = pl.program_id(2)
     c = jnp.concatenate([r[...] for r in cand_refs], axis=0)  # (128, D)
-    if c.dtype == jnp.int8:
-        c = c.astype(jnp.bfloat16)
-    prec = (jax.lax.Precision.HIGHEST if c.dtype == jnp.float32 else None)
-    # all qb queries against query i's candidates (trivial extra MXU work)
+    q = q_ref[...]
+    both_int = c.dtype == jnp.int8 and q.dtype == jnp.int8
+    # all qb queries against query i's candidates (trivial extra MXU work);
+    # same contraction dtypes as phase 1 so maxima and rescored values
+    # agree (int32 accumulation is exact, so operand order is free)
     s = jax.lax.dot_general(
-        q_ref[...], c, dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=prec, preferred_element_type=jnp.float32)   # (qb, 128)
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=(jax.lax.Precision.HIGHEST
+                   if c.dtype == jnp.float32 else None),
+        preferred_element_type=jnp.int32 if both_int else jnp.float32)
+    s = s.astype(jnp.float32) if both_int else s              # (qb, 128)
     rowidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
 
     @pl.when(i == 0)
@@ -359,7 +387,8 @@ def _gather_scores(q, db, bids, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_valid"))
-def _recompute_xla(q, db, bids, vmask, k: int, n_valid: int, scales=None):
+def _recompute_xla(q, db, bids, vmask, k: int, n_valid: int, scales=None,
+                   qscales=None):
     """XLA fallback for the gather+score+finish stages (CPU / interpret):
     same candidate blocks, same contraction, same tail handling."""
     nq, kf_pad = bids.shape
@@ -369,25 +398,33 @@ def _recompute_xla(q, db, bids, vmask, k: int, n_valid: int, scales=None):
     safe = jnp.clip(rows, 0, db.shape[0] - 1)
     cand = jnp.take(db, safe.reshape(-1), axis=0).reshape(
         nq, kf_pad * _RPB, -1)
-    if cand.dtype == jnp.int8:
+    both_int = cand.dtype == jnp.int8 and q.dtype == jnp.int8
+    if cand.dtype == jnp.int8 and not both_int:
         cand = cand.astype(jnp.bfloat16)
     prec = (jax.lax.Precision.HIGHEST
             if cand.dtype == jnp.float32 else None)
     raw = jax.lax.dot_general(
-        cand, q.astype(cand.dtype),
+        cand, q if both_int else q.astype(cand.dtype),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=prec, preferred_element_type=jnp.float32)
-    return _finish_from_raw(q, db, bids, vmask, raw, k, n_valid, scales)
+        precision=prec,
+        preferred_element_type=jnp.int32 if both_int else jnp.float32)
+    raw = raw.astype(jnp.float32) if both_int else raw
+    return _finish_from_raw(q, db, bids, vmask, raw, k, n_valid, scales,
+                            qscales)
 
 
 def _finish_from_raw(q, db, bids, vmask, raw, k: int, n_valid: int,
-                     scales=None):
+                     scales=None, qscales=None):
     """Mask non-candidates, rescale int8, score the ragged tail densely,
     final top-k.
 
     ``vmask`` marks genuine candidate blocks — pad/-inf lanes repeat some
     real block's rows (their ids were clipped for DMA safety), so they
-    must be masked by POSITION or that block could appear twice."""
+    must be masked by POSITION or that block could appear twice.
+
+    ``qscales`` (full-int8 mode): per-query positive scales applied to
+    the returned VALUES only — they cannot change any within-query
+    ranking, so selection and top-k run on unscaled-by-qs scores."""
     nq, kf_pad = bids.shape
     nb_main = n_valid // _RPB
     rows = (bids[:, :, None] * _RPB
@@ -408,6 +445,9 @@ def _finish_from_raw(q, db, bids, vmask, raw, k: int, n_valid: int,
     scores = jnp.where(valid, raw, -jnp.inf)
     tail = n_valid - nb_main * _RPB
     if tail:
+        # tail rows (< 8) scored densely in fp32 (for int8, products of
+        # |x| <= 127 ints are exact in fp32; accumulation rounding vs the
+        # candidates' int32 path is ~1e-7 relative on <= 7 rows)
         trows = db[nb_main * _RPB: n_valid].astype(jnp.float32)
         if scales is not None:
             tscales = scales.reshape(-1)[nb_main * _RPB: n_valid]
@@ -423,16 +463,19 @@ def _finish_from_raw(q, db, bids, vmask, raw, k: int, n_valid: int,
             axis=1)
     vals, pos = jax.lax.top_k(scores, k)
     idxs = jnp.take_along_axis(rows, pos, axis=1)
+    if qscales is not None:
+        vals = vals * qscales.reshape(-1, 1)
     return vals, idxs
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_valid"))
 def _hier_finish(q, db, bids, vmask, raw, k: int, n_valid: int,
-                 scales=None):
-    return _finish_from_raw(q, db, bids, vmask, raw, k, n_valid, scales)
+                 scales=None, qscales=None):
+    return _finish_from_raw(q, db, bids, vmask, raw, k, n_valid, scales,
+                            qscales)
 
 
-def _hierarchical(q, db, k: int, tile_rows: int, scales=None):
+def _hierarchical(q, db, k: int, tile_rows: int, scales=None, qscales=None):
     """Exact top-k: fine-max stream + hierarchical select + fused
     gather/rescore.
 
@@ -450,8 +493,8 @@ def _hierarchical(q, db, k: int, tile_rows: int, scales=None):
     bids, vmask = _hier_select(fmax, k, tile_rows, nd)
     if jax.default_backend() == "tpu":
         raw = _gather_scores(q, db, bids, interpret=False)
-        return _hier_finish(q, db, bids, vmask, raw, k, nd, scales)
-    return _recompute_xla(q, db, bids, vmask, k, nd, scales)
+        return _hier_finish(q, db, bids, vmask, raw, k, nd, scales, qscales)
+    return _recompute_xla(q, db, bids, vmask, k, nd, scales, qscales)
 
 
 @jax.jit
@@ -490,7 +533,8 @@ def quantize_db(db_descs, *, block_rows: int = 65536
 
 
 def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None,
-                    use_pallas: Optional[bool] = None, db_scales=None
+                    use_pallas: Optional[bool] = None, db_scales=None,
+                    quantize_queries: bool = False
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k (values, db indices) per query without materializing scores.
 
@@ -500,10 +544,17 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
     step overhead — measured +60% QPS at 1M x 2048 going 512 -> 1024 rows.
 
     ``db_descs`` may also be int8 from :func:`quantize_db` with
-    ``db_scales`` its (1, N) scale row: the kernel widens rows on the VPU,
-    dots in bf16/fp32 and rescales score columns — half the HBM stream of
-    bf16, with ~8-bit quantization noise on the ranking only (queries stay
-    bf16).
+    ``db_scales`` its (1, N) scale row: the kernel feeds the int8 rows to
+    the MXU directly (the convert fuses into the dot) and rescales score
+    rows — half the HBM stream of bf16, with ~8-bit quantization noise on
+    the DB side of the ranking only (queries stay bf16 by default).
+
+    ``quantize_queries=True`` (int8 databases only) additionally per-row
+    int8-quantizes the queries: the contraction runs on the int8 MXU (2x
+    the bf16 rate) with exact int32 accumulation — the fastest serving
+    mode, adding ~8-bit noise on the query side too. Returned values are
+    rescaled by the query scales, so they approximate the same dot
+    products as every other mode.
     """
     q = jnp.asarray(qdescs)
     db = jnp.asarray(db_descs)
@@ -525,19 +576,35 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
             budget = 12 * 2 ** 20 - q_bytes
             fit = budget // (4 * bytes_per_row + 4 * q.shape[0])
             tile_rows = max(256, min(tile_rows, fit // 256 * 256))
+    qscales = None
     if quantized:
-        q = q.astype(jnp.bfloat16)
         scales = jnp.asarray(db_scales, jnp.float32).reshape(1, -1)
+        if quantize_queries:
+            # full-int8: queries per-row int8-quantized too — the dot runs
+            # on the int8 MXU (2x the bf16 rate) with exact int32
+            # accumulation; extra ~8-bit noise on the QUERY side of the
+            # ranking, returned values rescaled by the query scales
+            q, qs = _quantize_block(q)
+            qscales = qs.reshape(1, -1)
+        else:
+            q = q.astype(jnp.bfloat16)
     elif q.dtype != db.dtype:
         q = q.astype(db.dtype)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if not use_pallas:
-        dbf = db.astype(jnp.float32)
-        if quantized:
-            dbf = dbf * scales.T
-        scores = jnp.matmul(q.astype(jnp.float32), dbf.T,
-                            preferred_element_type=jnp.float32)
+    if not use_pallas or (quantized and db.shape[0] < tile_rows):
+        # dense fallback (CPU path, or a small quantized DB where the
+        # streaming kernel has nothing to stream)
+        if quantized and qscales is not None:
+            raw = jnp.matmul(q.astype(jnp.int32), db.astype(jnp.int32).T,
+                             preferred_element_type=jnp.int32)
+            scores = raw.astype(jnp.float32) * scales * qscales.reshape(-1, 1)
+        else:
+            dbf = db.astype(jnp.float32)
+            if quantized:
+                dbf = dbf * scales.T
+            scores = jnp.matmul(q.astype(jnp.float32), dbf.T,
+                                preferred_element_type=jnp.float32)
         return jax.lax.top_k(scores, k)
     tile_rows = min(tile_rows, max(256, db.shape[0] // 256 * 256) or 256)
     # the hierarchical path trades the in-kernel O(k*Nq*tile) selection loop
@@ -546,12 +613,5 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
     if db.shape[0] >= tile_rows and tile_rows % 128 == 0 and \
             (k > 16 or quantized):
         return _hierarchical(q, db, k, tile_rows,
-                             scales if quantized else None)
-    if quantized:
-        # small quantized DB: eager fallback (the iterative kernel has no
-        # scaled variant; at this size the dense path is already cheap)
-        dbf = db.astype(jnp.float32) * scales.T
-        scores = jnp.matmul(q.astype(jnp.float32), dbf.T,
-                            preferred_element_type=jnp.float32)
-        return jax.lax.top_k(scores, k)
+                             scales if quantized else None, qscales)
     return _fused(q, db, k, min(tile_rows, db.shape[0]), False)

@@ -70,11 +70,17 @@ class RetrievalIndex:
     NQ_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256)
 
     # --- search ---------------------------------------------------------
-    def search(self, queries, k: int = 10, *, aqe: Optional[dict] = None
-               ) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, queries, k: int = 10, *, aqe: Optional[dict] = None,
+               int8_queries: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k (scores, indices) per query row. ``aqe={'k':, 'alpha':}``
         expands queries against the index first (test_dir.py:24-44
-        semantics)."""
+        semantics).
+
+        ``int8_queries=True`` (int8 single-chip indexes): quantize the
+        (possibly AQE-expanded) queries per-row to int8 so the ranking
+        contraction runs on the int8 MXU — the fastest serving mode, at
+        ~8-bit extra noise on the query side."""
+        self._int8_queries = bool(int8_queries)
         q = np.asarray(queries)
         if q.ndim == 1:
             q = q[None, :]  # single query convenience
@@ -99,8 +105,9 @@ class RetrievalIndex:
                     q = expand_queries_quantized(q, self._db, self._scales,
                                                  alpha=aqe["alpha"],
                                                  k=aqe["k"])
-                vals, idxs = rank_topk_fused(q, self._db, k,
-                                             db_scales=self._scales)
+                vals, idxs = rank_topk_fused(
+                    q, self._db, k, db_scales=self._scales,
+                    quantize_queries=getattr(self, "_int8_queries", False))
                 return np.asarray(vals), np.asarray(idxs)
             q = jnp.asarray(q, self.dtype)
             if aqe:

@@ -2,6 +2,7 @@
 the serving index. Pallas runs in interpret mode on the CPU harness; the
 same code paths are exercised compiled on TPU (PERF_NOTES.md)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -71,6 +72,60 @@ def test_int8_ranking_close_to_fp32():
     assert top1 >= 0.8
 
 
+def _int8q_oracle(q, db8, scales):
+    """Exact full-int8 scores: int32 dot, fp32 convert, db + query scales
+    (mirrors both the kernel and fallback paths bit-for-bit)."""
+    from dirjax.ops.topk_pallas import _quantize_block
+
+    q8, qs = _quantize_block(jnp.asarray(q))
+    raw = np.asarray(q8, np.int64) @ np.asarray(db8, np.int64).T
+    return (raw.astype(np.float32) * np.asarray(scales)
+            * np.asarray(qs).reshape(-1, 1))
+
+
+def test_full_int8_hierarchical_matches_oracle():
+    """quantize_queries=True (int8 MXU mode) must equal a dense top-k over
+    the SAME doubly-quantized scores."""
+    db = _normed(2048, 128)
+    q = _normed(8, 128)
+    db8, scales = quantize_db(db)
+    vals, idxs = rank_topk_fused(q, db8, 32, db_scales=scales,
+                                 use_pallas=True, tile_rows=256,
+                                 quantize_queries=True)
+    dense = _int8q_oracle(q, db8, scales)
+    wv, wi = jax.lax.top_k(jnp.asarray(dense), 32)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(wv),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_full_int8_dense_fallback_matches_oracle():
+    db = _normed(100, 32)
+    q = _normed(4, 32)
+    db8, scales = quantize_db(db)
+    vals, idxs = rank_topk_fused(q, db8, 5, db_scales=scales,
+                                 use_pallas=True, quantize_queries=True)
+    dense = _int8q_oracle(q, db8, scales)
+    wv, wi = jax.lax.top_k(jnp.asarray(dense), 5)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(wv),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_full_int8_close_to_fp32_ranking():
+    """Double quantization still recovers essentially the fp32 neighbors
+    (the accuracy contract the serving docs advertise)."""
+    db = _normed(1024, 256)
+    q = _normed(8, 256)
+    db8, scales = quantize_db(db)
+    _, idx8 = rank_topk_fused(q, db8, 10, db_scales=scales,
+                              use_pallas=True, quantize_queries=True)
+    _, idx32 = rank_topk_fused(q, db, 10, use_pallas=False)
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(np.asarray(idx8), np.asarray(idx32))])
+    assert overlap >= 0.8, f"full-int8 vs fp32 top-10 overlap {overlap}"
+
+
 def test_small_quantized_db_fallback():
     # below one kernel tile the eager fallback must serve the same answers
     db = _normed(100, 32)
@@ -106,6 +161,19 @@ class TestRetrievalIndexInt8:
         overlap = np.mean([len(set(a) & set(b)) / 5.0 for a, b in zip(i8, i32)])
         assert overlap >= 0.8
         assert np.allclose(v8[:, 0], v32[:, 0], atol=2e-2)
+
+    def test_int8_queries_mode(self):
+        db = _normed(512, 128)
+        q = _normed(6, 128)
+        idx8 = RetrievalIndex(db, dtype=jnp.int8)
+        v, i = idx8.search(q, k=5, int8_queries=True)
+        assert v.shape == (6, 5)
+        # full-int8 still recovers the fp32 top-1 on well-separated data
+        _, i32 = RetrievalIndex(db, dtype=jnp.float32).search(q, k=5)
+        assert np.mean(i[:, 0] == i32[:, 0]) >= 0.8
+        # the flag must not stick across calls
+        idx8.search(q, k=5)
+        assert idx8._int8_queries is False
 
     def test_aqe_runs_and_normalizes(self):
         db = _normed(512, 64)
