@@ -36,9 +36,12 @@ def labeled(tmp_path_factory):
 
 
 # deterministic chain so the sharded and single-device runs see identical
-# batches (same sampler seed, no random transform draws)
+# batches (same sampler seed, no random transform draws); SGD because Adam
+# amplifies fp32 psum-ordering noise on near-zero grads (dev-notes rule:
+# compare grads/params under SGD)
 CFG = dict(arch="resnet18_rmac", out_dim=32, batch_size=8, nq=10,
            learning_rate=3e-4, image_size=32, threads=2,
+           optimizer="sgd",
            trfs="Scale(36), CenterCrop(32)")
 
 

@@ -21,6 +21,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 
+# the env var alone does not override the sandbox's pre-registered TPU
+# platform plugin (see CLAUDE.md) — force CPU before backend init
+jax.config.update("jax_platforms", "cpu")
+
 coord, pid = sys.argv[1], int(sys.argv[2])
 jax.distributed.initialize(coordinator_address=coord, num_processes=2,
                            process_id=pid)
