@@ -141,12 +141,31 @@ def bench_ranking_qps(n_db: int = 1_000_000, dim: int = 2048, nq: int = 64,
     ck = (n_db, dim, int8)
     if ck not in _cache:
         _cache.clear()  # one resident DB at a time (HBM budget)
-        db = jax.random.normal(jax.random.PRNGKey(2), (n_db, dim),
-                               jnp.bfloat16)
         scales = None
-        if int8:
-            db, scales = quantize_db(db)
+        if int8 and n_db > 1_000_000:
+            # capacity corpora: build int8 chunk-wise so the bf16 source
+            # never exists whole (an 8 GB bf16 2M db + its int8 copy
+            # exceeds HBM)
+            chunk = 262_144
+            qs8, ss = [], []
+            for j, start in enumerate(range(0, n_db, chunk)):
+                rows = min(chunk, n_db - start)
+                blk = jax.random.normal(jax.random.PRNGKey(100 + j),
+                                        (rows, dim), jnp.bfloat16)
+                q8, s8 = quantize_db(blk)
+                qs8.append(q8)
+                ss.append(s8)
+                del blk
+            db = jnp.concatenate(qs8, axis=0)
+            del qs8
+            scales = jnp.concatenate(ss, axis=1)
             _sync(db[:8])
+        else:
+            db = jax.random.normal(jax.random.PRNGKey(2), (n_db, dim),
+                                   jnp.bfloat16)
+            if int8:
+                db, scales = quantize_db(db)
+                _sync(db[:8])
         _cache[ck] = (db, scales)
     db, scales = _cache[ck]
     qs = [jax.random.normal(jax.random.PRNGKey(10 + j), (nq, dim), jnp.bfloat16)
@@ -220,13 +239,21 @@ def main():
         extras["ranking_qps_1M_topk100_int8w8q_nq256"] = round(
             bench_ranking_qps(int8=True, int8_queries=True, nq=256,
                               n_iter=6), 1)
+    except Exception as e:
+        extras["ranking_error"] = str(e)[:120]
+
+    try:
         # capacity demo: a 2M x 2048 int8 corpus resident on ONE chip
         # (bf16 could not hold it at all) — every advertised number lives
-        # in this artifact
+        # in this artifact. Separate try: an OOM here must not poison the
+        # remaining benches
         extras["ranking_qps_2M_topk100_int8"] = round(
             bench_ranking_qps(n_db=2_000_000, int8=True, n_iter=6), 1)
     except Exception as e:
-        extras["ranking_error"] = str(e)[:120]
+        extras["ranking_2M_error"] = str(e)[:120]
+    finally:
+        # release the capacity corpus before the head bench
+        bench_ranking_qps.__defaults__[-1].clear()  # the _cache dict
 
     try:
         extras["fused_head_ms"] = round(bench_head_ms(), 3)
