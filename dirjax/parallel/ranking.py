@@ -13,6 +13,7 @@ Replaces the reference's single-CPU numpy matmul ranking
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,21 +60,79 @@ def shard_database_quantized(db, mesh: Mesh, axis: str = "db"):
     return db_i8, scales, n
 
 
+#: per-shard rows scored per streaming step once a shard's dense score
+#: matrix would exceed ~256 MB fp32 (the memory lesson of the single-chip
+#: redesign applied to the SPMD path: never materialize (nq, Nd_shard))
+_STREAM_CHUNK = 131072
+
+
+def _local_chunked_topk(q_rep, db_local, scales_local, k, n_valid, axis):
+    """Per-shard top-k streamed in row chunks inside shard_map: peak shard
+    memory is O(nq * chunk) scores + the running (nq, k) candidates.
+    Shard shapes are static, so chunk boundaries are plain Python slices
+    (a dynamic-slice formulation would clamp the ragged last chunk and
+    duplicate rows)."""
+    rows = db_local.shape[0]
+    offset = jax.lax.axis_index(axis) * rows
+    kk = min(k, rows)
+    prec = (jax.lax.Precision.HIGHEST
+            if db_local.dtype == jnp.float32 else None)
+
+    best_v = best_i = None
+    for start in range(0, rows, _STREAM_CHUNK):
+        blk = db_local[start: start + _STREAM_CHUNK]
+        s = jnp.matmul(q_rep.astype(
+            jnp.bfloat16 if blk.dtype == jnp.int8 else blk.dtype),
+            blk.T, precision=prec, preferred_element_type=jnp.float32)
+        gcol = offset + start + jnp.arange(blk.shape[0],
+                                           dtype=jnp.int32)[None, :]
+        if scales_local is not None:
+            s = s * scales_local.reshape(-1)[None,
+                                             start: start + _STREAM_CHUNK]
+        s = jnp.where(gcol < n_valid, s, -jnp.inf)
+        kb = min(kk, blk.shape[0])
+        v, p = jax.lax.top_k(s, kb)
+        idx = jnp.take_along_axis(jnp.broadcast_to(gcol, s.shape), p, axis=1)
+        if best_v is None:
+            best_v, best_i = v, idx
+        else:
+            cat_v = jnp.concatenate([best_v, v], axis=1)
+            cat_i = jnp.concatenate([best_i, idx], axis=1)
+            best_v, mp = jax.lax.top_k(cat_v, kk)
+            best_i = jnp.take_along_axis(cat_i, mp, axis=1)
+    if best_v.shape[1] < kk:   # single short chunk: pad to the contract
+        pad = kk - best_v.shape[1]
+        best_v = jnp.pad(best_v, ((0, 0), (0, pad)),
+                         constant_values=-jnp.inf)
+        best_i = jnp.pad(best_i, ((0, 0), (0, pad)), constant_values=-1)
+    return best_v, best_i
+
+
 def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
-                 axis: str = "db", db_scales=None):
+                 axis: str = "db", db_scales=None,
+                 stream: Optional[bool] = None):
     """(values, indices) of the global top-k per query.
 
     Per-shard top-k on each device, then an all-gather of the (nq, k)
     candidates over ICI and a final tiny top-k — O(devices*k) merge traffic
     instead of O(Nd). With an int8 ``db_sharded`` pass the matching
-    ``db_scales`` from :func:`shard_database_quantized`: each shard widens
-    its rows to bf16 (XLA fuses the convert into the dot) and rescales its
-    score columns."""
+    ``db_scales`` from :func:`shard_database_quantized`: each shard feeds
+    its rows to the MXU dot directly and rescales its score columns.
+
+    ``stream`` (default: auto once a shard's dense (nq, rows) fp32 score
+    matrix would exceed ~256 MB): stream each shard in row chunks with a
+    running top-k, bounding per-shard memory to O(nq * chunk) — the SPMD
+    twin of the single-chip design rule that the score matrix never
+    materializes."""
     quantized = db_sharded.dtype == jnp.int8
     if quantized:
         assert db_scales is not None, \
             "int8 sharded database requires db_scales"
         q = jnp.asarray(q).astype(jnp.bfloat16)
+    q = jnp.asarray(q)
+    shard_rows = db_sharded.shape[0] // mesh.shape[axis]
+    if stream is None:
+        stream = q.shape[0] * shard_rows * 4 > 256 * 2 ** 20
 
     def finish_local(scores, rows):
         offset = jax.lax.axis_index(axis) * rows
@@ -89,7 +148,10 @@ def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
             in_specs=(P(), P(axis, None), P(None, axis)),
             out_specs=out_specs, check_vma=False)
         def local_topk(q_rep, db_local, scales_local):
-            # widen int8 rows to bf16 (XLA fuses the convert into the dot)
+            if stream:
+                return _local_chunked_topk(q_rep, db_local, scales_local,
+                                           k, n_valid, axis)
+            # int8 rows feed the dot directly (the convert fuses)
             scores = jnp.matmul(q_rep, db_local.astype(jnp.bfloat16).T,
                                 preferred_element_type=jnp.float32)
             return finish_local(scores * scales_local, db_local.shape[0])
@@ -101,6 +163,9 @@ def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
             in_specs=(P(), P(axis, None)),
             out_specs=out_specs, check_vma=False)
         def local_topk(q_rep, db_local):
+            if stream:
+                return _local_chunked_topk(q_rep, db_local, None,
+                                           k, n_valid, axis)
             # fp32 ranking must pin HIGHEST or the MXU truncates inputs to
             # bf16 (mAP-relevant); native-bf16 databases dot natively
             prec = (jax.lax.Precision.HIGHEST

@@ -178,6 +178,52 @@ class TestServingAddConsistency:
         assert list(ids[:, 0]) == [0, 1]
 
 
+class TestShardedStreamingTopk:
+    """sharded_topk(stream=True): per-shard row-chunk streaming with a
+    running top-k — bounded shard memory (never an (nq, Nd_shard) score
+    matrix), same answers as the dense per-shard path."""
+
+    def _data(self, n=1000, d=32, nq=6):
+        rng = np.random.default_rng(7)
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q = rng.standard_normal((nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        return q, db
+
+    def test_stream_matches_dense(self, monkeypatch):
+        import jax.numpy as jnp
+
+        import dirjax.parallel.ranking as pr
+
+        monkeypatch.setattr(pr, "_STREAM_CHUNK", 16)  # force many chunks
+        q, db = self._data()
+        mesh = make_mesh(1, 8)
+        dbs, n = pr.shard_database(jnp.asarray(db), mesh)
+        vd, idd = pr.sharded_topk(q, dbs, 10, mesh, n, stream=False)
+        vs, ids = pr.sharded_topk(q, dbs, 10, mesh, n, stream=True)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(idd))
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vd),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_stream_int8_matches_dense(self, monkeypatch):
+        import jax.numpy as jnp
+
+        import dirjax.parallel.ranking as pr
+
+        monkeypatch.setattr(pr, "_STREAM_CHUNK", 32)
+        q, db = self._data(n=777)   # ragged shards + ragged chunks
+        mesh = make_mesh(1, 8)
+        db8, scales, n = pr.shard_database_quantized(jnp.asarray(db), mesh)
+        vd, idd = pr.sharded_topk(q, db8, 7, mesh, n, db_scales=scales,
+                                  stream=False)
+        vs, ids = pr.sharded_topk(q, db8, 7, mesh, n, db_scales=scales,
+                                  stream=True)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(idd))
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vd),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestChunkedExactEval:
     def test_chunked_scores_match_dense_map(self, synth, tmp_path):
         """eval_model with chunked scoring (bounded HBM for >1GB databases)
