@@ -1,0 +1,107 @@
+"""Serving-index CLI: build and query a RetrievalIndex from descriptor
+files (the ``.npy`` outputs of ``python -m dirjax.extract_features``).
+
+Beyond-reference surface — the reference stops at ``test_dir`` evaluation;
+this closes the loop to production serving:
+
+    python -m dirjax.extract_features --dataset "ImageList('db.txt')" \
+        --checkpoint model.npz --output feats
+    python -m dirjax.index build --descs feats.dbdescs.npy \
+        --keys db.txt --int8 --out index.npz
+    python -m dirjax.index query --index index.npz \
+        --descs feats.qdescs.npy -k 10 --aqe 10 3 --out-json hits.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Build / query a dirjax serving index")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--gpu", type=int, default=0, nargs="+",
+                        help="-1 forces CPU")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", parents=[common],
+                       help="build an index from descriptors")
+    b.add_argument("--descs", required=True,
+                   help="(N, D) .npy descriptor matrix (dbdescs)")
+    b.add_argument("--keys", default="",
+                   help="one key per line (e.g. the ImageList file); "
+                        "omit for positional-index results")
+    b.add_argument("--int8", action="store_true",
+                   help="store the database int8-quantized (half the HBM, "
+                        "2x corpus per chip)")
+    b.add_argument("--out", required=True, help="output .npz index path")
+
+    q = sub.add_parser("query", parents=[common], help="query an index")
+    q.add_argument("--index", required=True, help=".npz from `build`")
+    q.add_argument("--descs", required=True,
+                   help="(Nq, D) .npy query descriptors (qdescs)")
+    q.add_argument("-k", "--topk", type=int, default=10)
+    q.add_argument("--aqe", type=int, nargs=2, metavar=("K", "ALPHA"),
+                   default=None, help="alpha-query-expansion before ranking")
+    q.add_argument("--int8-queries", action="store_true",
+                   help="int8-quantize queries too (int8 indexes only): "
+                        "the fastest serving mode")
+    q.add_argument("--out-json", default="",
+                   help="write results as JSON (default: print)")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from .common import setup_device
+
+    setup_device(args.gpu)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..serving import RetrievalIndex
+
+    if args.cmd == "build":
+        descs = np.load(args.descs)
+        keys = None
+        if args.keys:
+            keys = [ln.split()[0] for ln in open(args.keys)
+                    if ln.strip()]
+            assert len(keys) == len(descs), \
+                f"{len(keys)} keys != {len(descs)} descriptors"
+        index = RetrievalIndex(
+            descs, keys=keys,
+            dtype=jnp.int8 if args.int8 else jnp.bfloat16)
+        index.save(args.out)
+        print(f"built index: {index.n} x {index.dim} "
+              f"({'int8' if args.int8 else 'bf16'}"
+              f"{', keyed' if keys else ''}) -> {args.out}")
+        return index
+
+    index = RetrievalIndex.load(args.index)
+    q = np.load(args.descs)
+    aqe = ({"k": args.aqe[0], "alpha": float(args.aqe[1])}
+           if args.aqe else None)
+    vals, idxs = index.search(q, k=args.topk, aqe=aqe,
+                              int8_queries=args.int8_queries)
+    out = {"scores": np.asarray(vals).tolist(),
+           "indices": np.asarray(idxs).tolist()}
+    if index.keys is not None:
+        out["keys"] = index.lookup(idxs)
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(out, f)
+        print(f"wrote {len(q)} query results to {args.out_json}")
+    else:
+        for qi in range(len(q)):
+            hits = (out["keys"][qi] if "keys" in out
+                    else out["indices"][qi])
+            print(f"query {qi}: {hits[:args.topk]}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -155,3 +155,59 @@ def test_fit_whitening_cli(tmp_path):
                    "--whiten", "SynClean", "--whitenp", "0.25",
                    "--trfs", "Scale(64)", "--gpu", "-1"])
     assert 0.0 <= res["mAP-medium"] <= 1.0
+
+
+class TestIndexCLI:
+    """python -m dirjax.index: the extract_features -> build -> query loop
+    (beyond-reference serving surface)."""
+
+    def _descs(self, tmp_path, n=64, d=32):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        dp = str(tmp_path / "feats.dbdescs.npy")
+        qp = str(tmp_path / "feats.qdescs.npy")
+        np.save(dp, db)
+        np.save(qp, db[:5])       # queries = first rows: top-1 self-match
+        kp = str(tmp_path / "keys.txt")
+        open(kp, "w").write("\n".join(f"img{i}.jpg" for i in range(n)))
+        return dp, qp, kp
+
+    def test_build_query_roundtrip(self, tmp_path):
+        import json
+
+        from dirjax.cli.index import main
+
+        dp, qp, kp = self._descs(tmp_path)
+        ip = str(tmp_path / "index.npz")
+        main(["build", "--descs", dp, "--keys", kp, "--out", ip,
+              "--gpu", "-1"])
+        oj = str(tmp_path / "hits.json")
+        main(["query", "--index", ip, "--descs", qp, "-k", "3",
+              "--out-json", oj, "--gpu", "-1"])
+        res = json.load(open(oj))
+        assert [row[0] for row in res["keys"]] == \
+            [f"img{i}.jpg" for i in range(5)]
+
+    def test_int8_build_and_aqe_query(self, tmp_path):
+        from dirjax.cli.index import main
+
+        dp, qp, kp = self._descs(tmp_path)
+        ip = str(tmp_path / "i8.npz")
+        main(["build", "--descs", dp, "--int8", "--out", ip, "--gpu", "-1"])
+        out = main(["query", "--index", ip, "--descs", qp, "-k", "3",
+                    "--aqe", "4", "3", "--int8-queries", "--gpu", "-1"])
+        assert [row[0] for row in out["indices"]] == [0, 1, 2, 3, 4]
+
+    def test_key_count_mismatch_asserts(self, tmp_path):
+        import pytest
+
+        from dirjax.cli.index import main
+
+        dp, qp, kp = self._descs(tmp_path)
+        open(kp, "a").write("\nextra.jpg")
+        with pytest.raises(AssertionError, match="keys"):
+            main(["build", "--descs", dp, "--keys", kp,
+                  "--out", str(tmp_path / "x.npz"), "--gpu", "-1"])
