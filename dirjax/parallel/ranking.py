@@ -78,12 +78,19 @@ def _local_chunked_topk(q_rep, db_local, scales_local, k, n_valid, axis):
     prec = (jax.lax.Precision.HIGHEST
             if db_local.dtype == jnp.float32 else None)
 
+    both_int = db_local.dtype == jnp.int8 and q_rep.dtype == jnp.int8
     best_v = best_i = None
     for start in range(0, rows, _STREAM_CHUNK):
         blk = db_local[start: start + _STREAM_CHUNK]
-        s = jnp.matmul(q_rep.astype(
-            jnp.bfloat16 if blk.dtype == jnp.int8 else blk.dtype),
-            blk.T, precision=prec, preferred_element_type=jnp.float32)
+        if both_int:   # exact int32 accumulation on the int8 MXU
+            s = jnp.matmul(q_rep.astype(jnp.int32),
+                           blk.astype(jnp.int32).T,
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32)
+        else:
+            s = jnp.matmul(q_rep.astype(
+                jnp.bfloat16 if blk.dtype == jnp.int8 else blk.dtype),
+                blk.T, precision=prec, preferred_element_type=jnp.float32)
         gcol = offset + start + jnp.arange(blk.shape[0],
                                            dtype=jnp.int32)[None, :]
         if scales_local is not None:
@@ -110,7 +117,8 @@ def _local_chunked_topk(q_rep, db_local, scales_local, k, n_valid, axis):
 
 def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
                  axis: str = "db", db_scales=None,
-                 stream: Optional[bool] = None):
+                 stream: Optional[bool] = None,
+                 quantize_queries: bool = False):
     """(values, indices) of the global top-k per query.
 
     Per-shard top-k on each device, then an all-gather of the (nq, k)
@@ -123,12 +131,24 @@ def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
     matrix would exceed ~256 MB): stream each shard in row chunks with a
     running top-k, bounding per-shard memory to O(nq * chunk) — the SPMD
     twin of the single-chip design rule that the score matrix never
-    materializes."""
+    materializes.
+
+    ``quantize_queries`` (int8 databases): per-row int8-quantize the
+    queries too, so each shard contracts on the int8 MXU; the per-query
+    scales multiply only the merged VALUES (a positive per-query constant
+    cannot reorder that query's candidates)."""
     quantized = db_sharded.dtype == jnp.int8
+    qscales = None
     if quantized:
         assert db_scales is not None, \
             "int8 sharded database requires db_scales"
-        q = jnp.asarray(q).astype(jnp.bfloat16)
+        if quantize_queries:
+            from ..ops.topk_pallas import _quantize_block
+
+            q, qs = _quantize_block(jnp.asarray(q))
+            qscales = qs.reshape(-1, 1)
+        else:
+            q = jnp.asarray(q).astype(jnp.bfloat16)
     q = jnp.asarray(q)
     shard_rows = db_sharded.shape[0] // mesh.shape[axis]
     if stream is None:
@@ -151,9 +171,15 @@ def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
             if stream:
                 return _local_chunked_topk(q_rep, db_local, scales_local,
                                            k, n_valid, axis)
-            # int8 rows feed the dot directly (the convert fuses)
-            scores = jnp.matmul(q_rep, db_local.astype(jnp.bfloat16).T,
-                                preferred_element_type=jnp.float32)
+            if q_rep.dtype == jnp.int8:   # full-int8: exact int32 accum
+                scores = jnp.matmul(q_rep.astype(jnp.int32),
+                                    db_local.astype(jnp.int32).T,
+                                    preferred_element_type=jnp.int32
+                                    ).astype(jnp.float32)
+            else:
+                # int8 rows feed the dot directly (the convert fuses)
+                scores = jnp.matmul(q_rep, db_local.astype(jnp.bfloat16).T,
+                                    preferred_element_type=jnp.float32)
             return finish_local(scores * scales_local, db_local.shape[0])
 
         vals, idxs = local_topk(q, db_sharded, db_scales)
@@ -178,6 +204,8 @@ def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
         vals, idxs = local_topk(q, db_sharded)          # (nq, ndev*k)
     merged_vals, pos = jax.lax.top_k(vals, k)
     merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
+    if qscales is not None:
+        merged_vals = merged_vals * qscales
     return merged_vals, merged_idxs
 
 

@@ -126,8 +126,11 @@ class RetrievalIndex:
                             db_scales=self._scales)
         if self._scales is None:
             q = q.astype(self.dtype)
-        vals, idxs = sharded_topk(q, self._db, k, self.mesh, self._n_valid,
-                                  db_scales=self._scales)
+        vals, idxs = sharded_topk(
+            q, self._db, k, self.mesh, self._n_valid,
+            db_scales=self._scales,
+            quantize_queries=(self._scales is not None
+                              and getattr(self, "_int8_queries", False)))
         return np.asarray(vals), np.asarray(idxs)
 
     def lookup(self, indices) -> list:

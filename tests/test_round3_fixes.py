@@ -206,6 +206,29 @@ class TestShardedStreamingTopk:
         np.testing.assert_allclose(np.asarray(vs), np.asarray(vd),
                                    rtol=1e-6, atol=1e-7)
 
+    def test_sharded_full_int8_matches_oracle(self):
+        """quantize_queries on the sharded path == dense full-int8 oracle
+        (int32 accumulation, db + query scales on the values)."""
+        import jax.numpy as jnp
+
+        import dirjax.parallel.ranking as pr
+        from dirjax.ops.topk_pallas import _quantize_block
+
+        q, db = self._data(n=500)
+        mesh = make_mesh(1, 8)
+        db8, scales, n = pr.shard_database_quantized(jnp.asarray(db), mesh)
+        vals, idxs = pr.sharded_topk(q, db8, 7, mesh, n, db_scales=scales,
+                                     quantize_queries=True)
+        q8, qs = _quantize_block(jnp.asarray(q))
+        db8_h = np.asarray(db8[:n], np.int64)
+        dense = (np.asarray(q8, np.int64) @ db8_h.T).astype(np.float32) \
+            * np.asarray(scales)[:, :n] * np.asarray(qs)[:, None]
+        want = np.argsort(-dense, axis=1)[:, :7]
+        np.testing.assert_array_equal(np.asarray(idxs), want)
+        got = np.take_along_axis(dense, np.asarray(idxs), axis=1)
+        np.testing.assert_allclose(np.asarray(vals), got, rtol=1e-5,
+                                   atol=1e-6)
+
     def test_stream_int8_matches_dense(self, monkeypatch):
         import jax.numpy as jnp
 
