@@ -142,16 +142,6 @@ def _fused(q, db, k: int, tile_rows: int, interpret: bool):
 _RPB = 8
 
 
-def _finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows,
-                    scale_ref=None):
-    """One DB tile: MXU scores (transposed layout) + reduction to per-fine-
-    block maxima.
-
-    Fine block ``b`` is the CONSECUTIVE row range ``[b*8, b*8+8)`` — the
-    scores are computed with DB rows on sublanes, so the per-8-row maxima
-    reduce is a free sublane-dim reshape ((tile, nq) -> (tile/8, 8, nq))
-    plus an intra-tile reduce, and phase 2 can fetch each candidate block
-    with one contiguous 32 KB DMA."""
 def _score_dot(db_block, q_block):
     """The one contraction both phases share: DB rows x queries with fp32
     accumulation. int8 DB rows feed the dot DIRECTLY (Mosaic fuses the
@@ -172,10 +162,19 @@ def _score_dot(db_block, q_block):
 
 def _finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows,
                     scale_ref=None):
-    # NB: full-int8 mode needs no per-QUERY scale here — a positive
-    # per-query constant cannot change any within-query comparison, so
-    # selection runs on unscaled-by-qs scores and only the returned
-    # values are rescaled (in the finish step)
+    """One DB tile: MXU scores (transposed layout) + reduction to per-fine-
+    block maxima.
+
+    Fine block ``b`` is the CONSECUTIVE row range ``[b*8, b*8+8)`` — the
+    scores are computed with DB rows on sublanes, so the per-8-row maxima
+    reduce is a free sublane-dim reshape ((tile, nq) -> (tile/8, 8, nq))
+    plus an intra-tile reduce, and phase 2 can fetch each candidate block
+    with one contiguous 32 KB DMA.
+
+    NB: full-int8 mode needs no per-QUERY scale here — a positive
+    per-query constant cannot change any within-query comparison, so
+    selection runs on unscaled-by-qs scores and only the returned values
+    are rescaled (in the finish step)."""
     t = pl.program_id(0)
     scores = _score_dot(db_ref[...], q_ref[...])      # (tile, nq)
     if scale_ref is not None:
@@ -561,6 +560,9 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
     quantized = db.dtype == jnp.int8
     if quantized and db_scales is None:
         raise ValueError("int8 database requires db_scales from quantize_db")
+    if quantize_queries and not quantized:
+        raise ValueError("quantize_queries requires an int8 database "
+                         "(build one with quantize_db)")
     if k > db.shape[0]:
         raise ValueError(f"k={k} exceeds the {db.shape[0]} database rows")
     if tile_rows is None:

@@ -139,6 +139,9 @@ def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
     cannot reorder that query's candidates)."""
     quantized = db_sharded.dtype == jnp.int8
     qscales = None
+    if quantize_queries and not quantized:
+        raise ValueError("quantize_queries requires an int8 sharded "
+                         "database (shard_database_quantized)")
     if quantized:
         assert db_scales is not None, \
             "int8 sharded database requires db_scales"

@@ -76,10 +76,13 @@ class RetrievalIndex:
         expands queries against the index first (test_dir.py:24-44
         semantics).
 
-        ``int8_queries=True`` (int8 single-chip indexes): quantize the
-        (possibly AQE-expanded) queries per-row to int8 so the ranking
-        contraction runs on the int8 MXU — the fastest serving mode, at
-        ~8-bit extra noise on the query side."""
+        ``int8_queries=True`` (int8 indexes): quantize the (possibly
+        AQE-expanded) queries per-row to int8 so the ranking contraction
+        runs on the int8 MXU — the fastest serving mode, at ~8-bit extra
+        noise on the query side."""
+        if int8_queries and self._scales is None:
+            raise ValueError("int8_queries requires an int8 index "
+                             "(RetrievalIndex(dtype=jnp.int8))")
         self._int8_queries = bool(int8_queries)
         q = np.asarray(queries)
         if q.ndim == 1:

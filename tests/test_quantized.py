@@ -126,6 +126,16 @@ def test_full_int8_close_to_fp32_ranking():
     assert overlap >= 0.8, f"full-int8 vs fp32 top-10 overlap {overlap}"
 
 
+def test_quantize_queries_requires_int8_db():
+    db = _normed(300, 32)
+    q = _normed(4, 32)
+    with pytest.raises(ValueError, match="int8 database"):
+        rank_topk_fused(q, db, 5, quantize_queries=True)
+    idx = RetrievalIndex(db, dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="int8 index"):
+        idx.search(q, k=5, int8_queries=True)
+
+
 def test_small_quantized_db_fallback():
     # below one kernel tile the eager fallback must serve the same answers
     db = _normed(100, 32)
