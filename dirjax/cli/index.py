@@ -36,6 +36,17 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--int8", action="store_true",
                    help="store the database int8-quantized (half the HBM, "
                         "2x corpus per chip)")
+    b.add_argument("--pq", type=int, default=0, metavar="M",
+                   help="product-quantize to M uint8 codes per row "
+                        "(~100x corpus per chip, approximate ranking); "
+                        "overrides --int8 unless --pq-rerank keeps int8 "
+                        "rows for exact rescoring")
+    b.add_argument("--opq", action="store_true",
+                   help="with --pq: learn an OPQ rotation first "
+                        "(better recall on whitened descriptors)")
+    b.add_argument("--pq-rerank", action="store_true",
+                   help="with --pq: also keep int8 rows and exactly "
+                        "rescore the ADC shortlist at query time")
     b.add_argument("--out", required=True, help="output .npz index path")
 
     q = sub.add_parser("query", parents=[common], help="query an index")
@@ -62,7 +73,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..serving import RetrievalIndex
+    from ..serving import PQIndex, RetrievalIndex
 
     if args.cmd == "build":
         descs = np.load(args.descs)
@@ -72,21 +83,33 @@ def main(argv=None):
                     if ln.strip()]
             assert len(keys) == len(descs), \
                 f"{len(keys)} keys != {len(descs)} descriptors"
-        index = RetrievalIndex(
-            descs, keys=keys,
-            dtype=jnp.int8 if args.int8 else jnp.bfloat16)
+        if args.pq:
+            index = PQIndex(descs, m=args.pq, keys=keys, opq=args.opq,
+                            rerank=args.pq_rerank)
+            kind = (f"pq m={args.pq}" + (" opq" if args.opq else "")
+                    + (" +int8-rerank" if args.pq_rerank else ""))
+        else:
+            index = RetrievalIndex(
+                descs, keys=keys,
+                dtype=jnp.int8 if args.int8 else jnp.bfloat16)
+            kind = "int8" if args.int8 else "bf16"
         index.save(args.out)
         print(f"built index: {index.n} x {index.dim} "
-              f"({'int8' if args.int8 else 'bf16'}"
-              f"{', keyed' if keys else ''}) -> {args.out}")
+              f"({kind}{', keyed' if keys else ''}) -> {args.out}")
         return index
 
-    index = RetrievalIndex.load(args.index)
+    index = RetrievalIndex.load(args.index)   # PQ archives auto-dispatch
     q = np.load(args.descs)
     aqe = ({"k": args.aqe[0], "alpha": float(args.aqe[1])}
            if args.aqe else None)
-    vals, idxs = index.search(q, k=args.topk, aqe=aqe,
-                              int8_queries=args.int8_queries)
+    if isinstance(index, PQIndex):
+        if args.int8_queries:
+            raise SystemExit("--int8-queries applies to int8 indexes; "
+                             "this is a PQ index (ADC scoring)")
+        vals, idxs = index.search(q, k=args.topk, aqe=aqe)
+    else:
+        vals, idxs = index.search(q, k=args.topk, aqe=aqe,
+                                  int8_queries=args.int8_queries)
     out = {"scores": np.asarray(vals).tolist(),
            "indices": np.asarray(idxs).tolist()}
     if index.keys is not None:

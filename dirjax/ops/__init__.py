@@ -9,6 +9,15 @@ from .pooling import (  # noqa: F401
     sympow,
     sympow_pool,
 )
+from .pq import (  # noqa: F401
+    encode_pq,
+    pq_lookup,
+    pq_scores,
+    pq_topk,
+    reconstruct_pq,
+    train_opq,
+    train_pq,
+)
 from .qe import (  # noqa: F401
     expand_database,
     expand_database_chunked,

@@ -21,7 +21,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_database", "shard_database_quantized", "sharded_topk",
-           "sharded_scores", "sharded_aqe"]
+           "sharded_scores", "sharded_aqe", "shard_codes", "sharded_pq_topk"]
 
 
 def shard_database(db, mesh: Mesh, axis: str = "db"):
@@ -209,6 +209,60 @@ def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
     merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
     if qscales is not None:
         merged_vals = merged_vals * qscales
+    return merged_vals, merged_idxs
+
+
+def shard_codes(codes, mesh: Mesh, axis: str = "db"):
+    """Place an (N, m) uint8 PQ code matrix row-sharded over ``axis``.
+    Pad rows are masked by ``n_valid`` at query time (a pad code would
+    otherwise decode to real centroids and could win a top-k)."""
+    codes = jnp.asarray(codes)
+    n = codes.shape[0]
+    size = mesh.shape[axis]
+    pad = (-n) % size
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)])
+    return jax.device_put(codes, NamedSharding(mesh, P(axis, None))), n
+
+
+def sharded_pq_topk(luts, codes_sharded, k: int, mesh: Mesh, n_valid: int,
+                    axis: str = "db", chunk: int = 131072):
+    """Global ADC top-k over row-sharded PQ codes: each shard streams its
+    codes through the one-hot MXU contraction (:func:`dirjax.ops.pq_topk`'s
+    scan) to a local (nq, k), then the O(devices*k) candidate merge of
+    :func:`sharded_topk`. Lookup tables are replicated — (nq, m, ksub)
+    fp32 is ~4 MB at nq=256, negligible ICI traffic."""
+    from ..ops.pq import _pq_topk_scan
+
+    luts = jnp.asarray(luts, jnp.float32)
+    shard_rows = codes_sharded.shape[0] // mesh.shape[axis]
+    cchunk = min(chunk, max(1024, shard_rows))
+    kk = min(k, shard_rows)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(None, axis), P(None, axis)), check_vma=False)
+    def local_topk(luts_rep, codes_local):
+        rows = codes_local.shape[0]
+        offset = jax.lax.axis_index(axis) * rows
+        pad = (-rows) % cchunk
+        if pad:
+            codes_local = jnp.concatenate(
+                [codes_local,
+                 jnp.zeros((pad, codes_local.shape[1]), codes_local.dtype)])
+        local_valid = jnp.clip(n_valid - offset, 0, rows)
+        v, i = _pq_topk_scan(luts_rep, codes_local, local_valid, kk, cchunk)
+        if v.shape[1] < kk:          # contract: every shard emits kk
+            short = kk - v.shape[1]
+            v = jnp.pad(v, ((0, 0), (0, short)), constant_values=-jnp.inf)
+            i = jnp.pad(i, ((0, 0), (0, short)), constant_values=-1)
+        return v, jnp.where(i >= 0, i + offset, -1)
+
+    vals, idxs = local_topk(luts, codes_sharded)          # (nq, ndev*kk)
+    merged_vals, pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
     return merged_vals, merged_idxs
 
 
