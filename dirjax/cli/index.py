@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(~100x corpus per chip, approximate ranking); "
                         "overrides --int8 unless --pq-rerank keeps int8 "
                         "rows for exact rescoring")
+    b.add_argument("--pq-ksub", type=int, default=16, metavar="K",
+                   help="centroids per PQ subspace (<=256). 16 is the "
+                        "TPU-fast default; 256 halves the bytes per row "
+                        "at the same M (classic PQ) but ranks ~4x slower")
     b.add_argument("--opq", action="store_true",
                    help="with --pq: learn an OPQ rotation first "
                         "(better recall on whitened descriptors)")
@@ -84,9 +88,10 @@ def main(argv=None):
             assert len(keys) == len(descs), \
                 f"{len(keys)} keys != {len(descs)} descriptors"
         if args.pq:
-            index = PQIndex(descs, m=args.pq, keys=keys, opq=args.opq,
-                            rerank=args.pq_rerank)
-            kind = (f"pq m={args.pq}" + (" opq" if args.opq else "")
+            index = PQIndex(descs, m=args.pq, ksub=args.pq_ksub, keys=keys,
+                            opq=args.opq, rerank=args.pq_rerank)
+            kind = (f"pq m={args.pq} ksub={args.pq_ksub}"
+                    + (" opq" if args.opq else "")
                     + (" +int8-rerank" if args.pq_rerank else ""))
         else:
             index = RetrievalIndex(

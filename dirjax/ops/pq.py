@@ -178,63 +178,188 @@ def pq_lookup(q, codebooks):
                       precision=_HIGHEST, preferred_element_type=jnp.float32)
 
 
-def _onehot_scores(luts, codes_chunk):
-    """(nq, C) ADC scores for one code chunk via the one-hot contraction."""
+def _adc_modes(compute_dtype):
+    """(operand dtype, dot precision) for the ADC contraction.
+
+    ``None``/fp32 pins ``HIGHEST`` — without it the TPU MXU silently
+    truncates fp32 operands to bf16 (the same rule as ``ops/ranking``).
+    bf16 is ~3x faster on TPU (measured: 1M rows m=32/ksub=16 scores in
+    1.4 ms bf16 vs 3.7 ms fp32-HIGHEST) at ~0.4% relative score noise —
+    well under PQ's own quantization error; the serving default.
+    """
+    if compute_dtype is None or compute_dtype == jnp.float32:
+        return jnp.float32, _HIGHEST
+    return compute_dtype, None
+
+
+def _onehot_scores(luts, codes_chunk, dt=jnp.float32, prec=_HIGHEST):
+    """(nq, C) ADC scores for one code chunk.
+
+    The one-hot expands against the lookup tables on the MXU; XLA fuses
+    the iota-compare producer into the contraction (measured at compute
+    bound on v5e — no (C, m, ksub) operand ever reaches HBM).
+    """
     ksub = luts.shape[2]
-    oh = jax.nn.one_hot(codes_chunk.astype(jnp.int32), ksub,
-                        dtype=jnp.float32)                # (C, m, ksub)
-    return jnp.einsum("cmk,qmk->qc", oh, luts,
-                      precision=_HIGHEST, preferred_element_type=jnp.float32)
+    oh = jax.nn.one_hot(codes_chunk.astype(jnp.int32), ksub, dtype=dt)
+    return jnp.einsum("cmk,qmk->qc", oh, luts.astype(dt),
+                      precision=prec, preferred_element_type=jnp.float32)
 
 
-def pq_scores(luts, codes):
+def pq_scores(luts, codes, *, compute_dtype=None):
     """Dense (nq, N) ADC score matrix — tests / small corpora only; the
     serving path is :func:`pq_topk`, which never materializes this."""
-    return _onehot_scores(luts, jnp.asarray(codes))
+    dt, prec = _adc_modes(compute_dtype)
+    return _onehot_scores(luts, jnp.asarray(codes), dt, prec)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def _pq_topk_scan(luts, codes_pad, n_valid, k: int, chunk: int):
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "dt_name"))
+def _pq_topk_dense(luts, codes_pad, n_valid, k: int, chunk: int,
+                   dt_name: str = "float32"):
+    """Small-corpus path: dense scores + one top_k (chunk == padded N)."""
+    dt, prec = _adc_modes(jnp.dtype(dt_name).type)
+    s = _onehot_scores(luts, codes_pad, dt, prec)
+    col = jnp.arange(codes_pad.shape[0], dtype=jnp.int32)[None, :]
+    s = jnp.where(col < n_valid, s, -jnp.inf)
+    kk = min(k, codes_pad.shape[0])
+    vals, idxs = jax.lax.top_k(s, kk)
+    return vals, jnp.where(vals > -jnp.inf, idxs, -1)
+
+
+def _descend_maxima(fmax, k: int):
+    """Hierarchical selection over per-block maxima: (ids, valid).
+
+    Builds a max-pyramid (x16 per level) until the coarsest width is a
+    cheap ``lax.top_k`` (<= 4096 lanes — wide sorts are the cost center:
+    0.1 ms at width 1600 vs 2.2 ms at 12800, PERF_NOTES.md), then descends:
+    at each level the surviving groups expand to their 16 children, and a
+    narrow (<= 16k)-wide top_k keeps k. Each level's top-k-by-group-max
+    provably contains every true top-k row (the containment argument of
+    ``ops/topk_pallas.py``), so the final ids do too.
+    """
+    nq, nb = fmax.shape
+    pyramid = [fmax]
+    while pyramid[-1].shape[1] > 4096:
+        f = pyramid[-1]
+        w = f.shape[1]
+        pad = (-w) % 16
+        if pad:
+            f = jnp.pad(f, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        pyramid.append(f.reshape(nq, -1, 16).max(axis=2))
+    top_v, top = jax.lax.top_k(pyramid[-1],
+                               min(k, pyramid[-1].shape[1]))
+    for child in reversed(pyramid[:-1]):
+        cand = (top[:, :, None] * 16
+                + jnp.arange(16, dtype=jnp.int32)).reshape(nq, -1)
+        safe = jnp.clip(cand, 0, child.shape[1] - 1)
+        v = jnp.take_along_axis(child, safe, axis=1)
+        v = jnp.where(cand < child.shape[1], v, -jnp.inf)
+        top_v, sel = jax.lax.top_k(v, min(k, v.shape[1]))
+        top = jnp.take_along_axis(cand, sel, axis=1)
+    return top, top_v > -jnp.inf
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "chunk", "block", "dt_name"))
+def _pq_topk_hier(luts, codes_pad, n_valid, k: int, chunk: int, block: int,
+                  dt_name: str = "float32"):
+    """Streaming hierarchical ADC top-k (the at-scale path).
+
+    Phase A: one ``lax.scan`` over row chunks scores each chunk on the MXU
+    and emits ONLY per-``block``-row maxima — (nq, N/block) fp32, e.g.
+    16 MB at nq=256 over 1M rows, never the (nq, N) matrix. Phase B:
+    :func:`_descend_maxima` -> k winning blocks/query. Phase C: gather the
+    winning blocks' CODES (block*m bytes each — candidate gathers move
+    kilobytes, not descriptor rows) and rescore them from the same
+    ``compute_dtype``-rounded tables, so phase A maxima and phase C scores
+    agree to fp32 summation order; one final (k*block)-wide top_k.
+    """
+    dt, prec = _adc_modes(jnp.dtype(dt_name).type)
     nq = luts.shape[0]
+    m = codes_pad.shape[1]
     nchunks = codes_pad.shape[0] // chunk
-    chunks = codes_pad.reshape(nchunks, chunk, codes_pad.shape[1])
-    kk = min(k, chunk)
+    chunks = codes_pad.reshape(nchunks, chunk, m)
 
-    def body(carry, xs):
-        best_v, best_i = carry
-        ci, block = xs
-        s = _onehot_scores(luts, block)                   # (nq, chunk)
+    def body(_, xs):
+        ci, blk = xs
+        s = _onehot_scores(luts, blk, dt, prec)           # (nq, chunk)
         col = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
         s = jnp.where(col < n_valid, s, -jnp.inf)
-        v, p = jax.lax.top_k(s, kk)
-        idx = jnp.take_along_axis(jnp.broadcast_to(col, s.shape), p, axis=1)
-        cat_v = jnp.concatenate([best_v, v], axis=1)      # width <= 2k
-        cat_i = jnp.concatenate([best_i, idx], axis=1)
-        best_v, mp = jax.lax.top_k(cat_v, kk)
-        best_i = jnp.take_along_axis(cat_i, mp, axis=1)
-        return (best_v, best_i), None
+        return 0, s.reshape(nq, chunk // block, block).max(axis=2)
 
-    init = (jnp.full((nq, kk), -jnp.inf),
-            jnp.full((nq, kk), -1, jnp.int32))
-    (vals, idxs), _ = jax.lax.scan(
-        body, init, (jnp.arange(nchunks, dtype=jnp.int32), chunks))
-    return vals, idxs
+    _, fmax = jax.lax.scan(
+        body, 0, (jnp.arange(nchunks, dtype=jnp.int32), chunks))
+    fmax = jnp.moveaxis(fmax, 0, 1).reshape(nq, -1)       # (nq, N/block)
+
+    bids, bvalid = _descend_maxima(fmax, k)               # (nq, kf)
+    kf = bids.shape[1]
+    safe_bids = jnp.clip(bids, 0, codes_pad.shape[0] // block - 1)
+    rows = (safe_bids[:, :, None] * block
+            + jnp.arange(block, dtype=jnp.int32)).reshape(nq, kf * block)
+    # gather whole code BLOCKS (block*m contiguous bytes each), not rows:
+    # the same 52 MB fetched as 32-byte scattered rows measured 18 ms on
+    # v5e; as 2 KB contiguous block rows it is ~1 ms (XLA row gathers are
+    # per-row-overhead-bound at small widths, PERF_NOTES.md)
+    cand = jnp.take(codes_pad.reshape(-1, block * m),
+                    safe_bids.reshape(-1), axis=0) \
+        .reshape(nq, kf * block, m)
+    # rescore with the SAME one-hot contraction (and rounded tables) as
+    # phase A, batched per query — scores agree to fp32 summation order.
+    # NB: a take_along_axis LUT-gather formulation of this sum measured
+    # 720 ms at nq=256/6400 cands on v5e (scalar VPU gathers); the
+    # batched one-hot einsum is 0.6 ms.
+    oh = jax.nn.one_hot(cand.astype(jnp.int32), luts.shape[2], dtype=dt)
+    s = jnp.einsum("qcmk,qmk->qc", oh, luts.astype(dt),
+                   precision=prec, preferred_element_type=jnp.float32)
+    ok = (rows < n_valid) & jnp.repeat(bvalid, block, axis=1)
+    s = jnp.where(ok, s, -jnp.inf)
+    kk = min(k, s.shape[1])
+    vals, pos = jax.lax.top_k(s, kk)
+    idxs = jnp.take_along_axis(rows, pos, axis=1)
+    return vals, jnp.where(vals > -jnp.inf, idxs, -1)
 
 
-def pq_topk(luts, codes, k: int, *, chunk: int = 131072
+#: fine-block rows for the hierarchical path: 64 rows/block keeps the
+#: maxima array 64x smaller than the scores (16 MB at nq=256 over 1M rows)
+#: while candidate re-scoring stays a few-MB gather
+_BLOCK = 64
+
+
+def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
+            block: int = _BLOCK, compute_dtype=None
             ) -> Tuple[jax.Array, jax.Array]:
     """Streaming ADC top-k: (values, indices) of the best ``k`` rows per
-    query. Rows stream in ``chunk``-sized blocks under one ``lax.scan``
-    with a running 2k-wide merge, so peak memory is O(nq * chunk) scores
-    plus the (N, m) codes — never the (nq, N) matrix."""
+    query; ``-inf``/-1 pad past the corpus when k > N.
+
+    Corpora small enough for one dense top_k take the direct path;
+    otherwise the fine-max hierarchy streams row chunks under one
+    ``lax.scan`` (peak memory O(nq * chunk) scores + the (N, m) codes —
+    never the (nq, N) matrix) and only k*``block`` candidate rows are
+    ever rescored. ``compute_dtype=jnp.bfloat16`` runs the contraction
+    ~3x faster on the TPU MXU at ~0.4% score noise (:func:`_adc_modes`).
+    """
     codes = jnp.asarray(codes)
     n = codes.shape[0]
-    chunk = min(chunk, max(1024, n))
+    dt_name = jnp.dtype(_adc_modes(compute_dtype)[0]).name
+    if n <= max(4096, 2 * k * block):   # hierarchy can't pay for itself
+        pad = (-n) % 256
+        codes_pad = jnp.concatenate(
+            [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)]) \
+            if pad else codes
+        vals, idxs = _pq_topk_dense(luts, codes_pad, jnp.int32(n),
+                                    min(k, n), codes_pad.shape[0], dt_name)
+        if idxs.shape[1] < k:           # pad to the requested k
+            short = k - idxs.shape[1]
+            vals = jnp.pad(vals, ((0, 0), (0, short)),
+                           constant_values=-jnp.inf)
+            idxs = jnp.pad(idxs, ((0, 0), (0, short)), constant_values=-1)
+        return vals, idxs
+    chunk = max(block, (min(chunk, n) // block) * block)
     pad = (-n) % chunk
     if pad:
         codes = jnp.concatenate(
             [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)])
-    return _pq_topk_scan(luts, codes, jnp.int32(n), k, chunk)
+    return _pq_topk_hier(luts, codes, jnp.int32(n), k, chunk, block,
+                         dt_name)
 
 
 def reconstruct_pq(codes, codebooks):

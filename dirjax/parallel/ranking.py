@@ -227,18 +227,21 @@ def shard_codes(codes, mesh: Mesh, axis: str = "db"):
 
 
 def sharded_pq_topk(luts, codes_sharded, k: int, mesh: Mesh, n_valid: int,
-                    axis: str = "db", chunk: int = 131072):
+                    axis: str = "db", chunk: int = 131072,
+                    compute_dtype=None):
     """Global ADC top-k over row-sharded PQ codes: each shard streams its
-    codes through the one-hot MXU contraction (:func:`dirjax.ops.pq_topk`'s
-    scan) to a local (nq, k), then the O(devices*k) candidate merge of
-    :func:`sharded_topk`. Lookup tables are replicated — (nq, m, ksub)
-    fp32 is ~4 MB at nq=256, negligible ICI traffic."""
-    from ..ops.pq import _pq_topk_scan
+    codes through the one-hot MXU contraction + fine-max hierarchy
+    (:func:`dirjax.ops.pq_topk`'s device path) to a local (nq, k), then
+    the O(devices*k) candidate merge of :func:`sharded_topk`. Lookup
+    tables are replicated — (nq, m, ksub) fp32 is ~4 MB at nq=256,
+    negligible ICI traffic."""
+    from ..ops.pq import (_BLOCK, _adc_modes, _pq_topk_dense,
+                          _pq_topk_hier)
 
     luts = jnp.asarray(luts, jnp.float32)
     shard_rows = codes_sharded.shape[0] // mesh.shape[axis]
-    cchunk = min(chunk, max(1024, shard_rows))
     kk = min(k, shard_rows)
+    dt_name = jnp.dtype(_adc_modes(compute_dtype)[0]).name
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -247,13 +250,24 @@ def sharded_pq_topk(luts, codes_sharded, k: int, mesh: Mesh, n_valid: int,
     def local_topk(luts_rep, codes_local):
         rows = codes_local.shape[0]
         offset = jax.lax.axis_index(axis) * rows
-        pad = (-rows) % cchunk
-        if pad:
-            codes_local = jnp.concatenate(
-                [codes_local,
-                 jnp.zeros((pad, codes_local.shape[1]), codes_local.dtype)])
         local_valid = jnp.clip(n_valid - offset, 0, rows)
-        v, i = _pq_topk_scan(luts_rep, codes_local, local_valid, kk, cchunk)
+        if rows <= max(4096, 2 * kk * _BLOCK):
+            pad = (-rows) % 256
+            if pad:
+                codes_local = jnp.concatenate(
+                    [codes_local, jnp.zeros((pad, codes_local.shape[1]),
+                                            codes_local.dtype)])
+            v, i = _pq_topk_dense(luts_rep, codes_local, local_valid, kk,
+                                  codes_local.shape[0], dt_name)
+        else:
+            cchunk = max(_BLOCK, (min(chunk, rows) // _BLOCK) * _BLOCK)
+            pad = (-rows) % cchunk
+            if pad:
+                codes_local = jnp.concatenate(
+                    [codes_local, jnp.zeros((pad, codes_local.shape[1]),
+                                            codes_local.dtype)])
+            v, i = _pq_topk_hier(luts_rep, codes_local, local_valid, kk,
+                                 cchunk, _BLOCK, dt_name)
         if v.shape[1] < kk:          # contract: every shard emits kk
             short = kk - v.shape[1]
             v = jnp.pad(v, ((0, 0), (0, short)), constant_values=-jnp.inf)

