@@ -37,6 +37,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "train_pq", "encode_pq", "pq_lookup", "pq_scores", "pq_topk",
@@ -225,43 +227,75 @@ def _pq_topk_dense(luts, codes_pad, n_valid, k: int, chunk: int,
     return vals, jnp.where(vals > -jnp.inf, idxs, -1)
 
 
+#: finite -inf stand-in inside the selection dots: 0 * -inf would be NaN
+_NEG = jnp.float32(-3.0e38)
+
+
+def _select_exact(values, sel):
+    """``take_along_axis(values, sel, axis=1)`` as a one-hot MXU
+    contraction. Per-element lane gathers lower to scalar VPU loads on
+    TPU (~14 ns each — a (256, 1600) gather costs milliseconds,
+    PERF_NOTES.md); the dot is bitwise-exact for finite fp32 payloads
+    (each one-hot row has a single 1.0) and exact for int payloads below
+    2^24. ``values`` must not contain +-inf (use :data:`_NEG`)."""
+    out_int = jnp.issubdtype(values.dtype, jnp.integer)
+    oh = jax.nn.one_hot(sel, values.shape[1], dtype=jnp.float32)
+    picked = jnp.einsum("qkw,qw->qk", oh, values.astype(jnp.float32),
+                        precision=_HIGHEST,
+                        preferred_element_type=jnp.float32)
+    return picked.astype(jnp.int32) if out_int else picked
+
+
 def _descend_maxima(fmax, k: int):
     """Hierarchical selection over per-block maxima: (ids, valid).
 
     Builds a max-pyramid (x16 per level) until the coarsest width is a
     cheap ``lax.top_k`` (<= 4096 lanes — wide sorts are the cost center:
     0.1 ms at width 1600 vs 2.2 ms at 12800, PERF_NOTES.md), then descends:
-    at each level the surviving groups expand to their 16 children, and a
+    at each level the surviving groups expand to their 16 children
+    (values fetched by a one-hot block contraction, not a gather), and a
     narrow (<= 16k)-wide top_k keeps k. Each level's top-k-by-group-max
     provably contains every true top-k row (the containment argument of
     ``ops/topk_pallas.py``), so the final ids do too.
     """
     nq, nb = fmax.shape
-    pyramid = [fmax]
+    pyramid = [jnp.maximum(fmax, _NEG)]
     while pyramid[-1].shape[1] > 4096:
         f = pyramid[-1]
-        w = f.shape[1]
-        pad = (-w) % 16
+        pad = (-f.shape[1]) % 16
         if pad:
-            f = jnp.pad(f, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            f = jnp.pad(f, ((0, 0), (0, pad)), constant_values=_NEG)
         pyramid.append(f.reshape(nq, -1, 16).max(axis=2))
     top_v, top = jax.lax.top_k(pyramid[-1],
                                min(k, pyramid[-1].shape[1]))
     for child in reversed(pyramid[:-1]):
+        w = child.shape[1]
+        pad = (-w) % 16
+        c3 = (jnp.pad(child, ((0, 0), (0, pad)), constant_values=_NEG)
+              if pad else child).reshape(nq, -1, 16)
+        # exact 16-wide block fetch on the MXU (same trick as phase C)
+        oh = jax.nn.one_hot(top, c3.shape[1], dtype=jnp.float32)
+        v = jnp.einsum("qkc,qcw->qkw", oh, c3, precision=_HIGHEST,
+                       preferred_element_type=jnp.float32).reshape(nq, -1)
         cand = (top[:, :, None] * 16
                 + jnp.arange(16, dtype=jnp.int32)).reshape(nq, -1)
-        safe = jnp.clip(cand, 0, child.shape[1] - 1)
-        v = jnp.take_along_axis(child, safe, axis=1)
-        v = jnp.where(cand < child.shape[1], v, -jnp.inf)
+        v = jnp.where(cand < w, v, _NEG)
         top_v, sel = jax.lax.top_k(v, min(k, v.shape[1]))
-        top = jnp.take_along_axis(cand, sel, axis=1)
-    return top, top_v > -jnp.inf
+        top = _select_exact(cand, sel)
+    return top, top_v > 0.5 * _NEG
+
+
+#: Pallas phase-A row tile: VMEM = codes (tile*m) + one-hot
+#: (tile*m*ksub*2 bf16) + scores (tile*nq*4) — ~2.3 MB at m=32/ksub=16
+_PALLAS_TILE = 1024
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "chunk", "block", "dt_name"))
+                   static_argnames=("k", "chunk", "block", "dt_name",
+                                    "phase_a", "n_static"))
 def _pq_topk_hier(luts, codes_pad, n_valid, k: int, chunk: int, block: int,
-                  dt_name: str = "float32"):
+                  dt_name: str = "float32", phase_a: str = "xla",
+                  n_static: int = -1):
     """Streaming hierarchical ADC top-k (the at-scale path).
 
     Phase A: one ``lax.scan`` over row chunks scores each chunk on the MXU
@@ -276,19 +310,36 @@ def _pq_topk_hier(luts, codes_pad, n_valid, k: int, chunk: int, block: int,
     dt, prec = _adc_modes(jnp.dtype(dt_name).type)
     nq = luts.shape[0]
     m = codes_pad.shape[1]
-    nchunks = codes_pad.shape[0] // chunk
-    chunks = codes_pad.reshape(nchunks, chunk, m)
+    if phase_a in ("pallas", "interpret"):
+        assert n_static >= 0, "pallas phase A needs the static row count"
+        mk = luts.shape[1] * luts.shape[2]
+        # the in-VMEM rep (f32) + one-hot (bf16) cost ~6 B * tile * mk;
+        # tile 1024 at mk=1024 measured 0.8 MB over the 16 MB scope
+        tile = _PALLAS_TILE if mk <= 512 else _PALLAS_TILE // 2
+        tile = min(tile, codes_pad.shape[0])
+        pad = (-codes_pad.shape[0]) % tile
+        cp = jnp.concatenate(
+            [codes_pad, jnp.zeros((pad, m), codes_pad.dtype)]) \
+            if pad else codes_pad
+        luts_flat_t = luts.astype(dt).reshape(nq, -1).T   # (m*ksub, nq)
+        fmax = _adc_finemax_pallas(
+            luts_flat_t, cp, n_static, tile_rows=tile, block=block,
+            interpret=phase_a == "interpret").T           # (nq, N/block)
+    else:
+        nchunks = codes_pad.shape[0] // chunk
+        chunks = codes_pad.reshape(nchunks, chunk, m)
 
-    def body(_, xs):
-        ci, blk = xs
-        s = _onehot_scores(luts, blk, dt, prec)           # (nq, chunk)
-        col = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-        s = jnp.where(col < n_valid, s, -jnp.inf)
-        return 0, s.reshape(nq, chunk // block, block).max(axis=2)
+        def body(_, xs):
+            ci, blk = xs
+            s = _onehot_scores(luts, blk, dt, prec)       # (nq, chunk)
+            col = ci * chunk + jnp.arange(chunk,
+                                          dtype=jnp.int32)[None, :]
+            s = jnp.where(col < n_valid, s, -jnp.inf)
+            return 0, s.reshape(nq, chunk // block, block).max(axis=2)
 
-    _, fmax = jax.lax.scan(
-        body, 0, (jnp.arange(nchunks, dtype=jnp.int32), chunks))
-    fmax = jnp.moveaxis(fmax, 0, 1).reshape(nq, -1)       # (nq, N/block)
+        _, fmax = jax.lax.scan(
+            body, 0, (jnp.arange(nchunks, dtype=jnp.int32), chunks))
+        fmax = jnp.moveaxis(fmax, 0, 1).reshape(nq, -1)   # (nq, N/block)
 
     bids, bvalid = _descend_maxima(fmax, k)               # (nq, kf)
     kf = bids.shape[1]
@@ -314,7 +365,10 @@ def _pq_topk_hier(luts, codes_pad, n_valid, k: int, chunk: int, block: int,
     s = jnp.where(ok, s, -jnp.inf)
     kk = min(k, s.shape[1])
     vals, pos = jax.lax.top_k(s, kk)
-    idxs = jnp.take_along_axis(rows, pos, axis=1)
+    # row ids can exceed fp32's exact-int range (2^24) at capacity scale,
+    # so select block id and in-block offset separately (both small)
+    idxs = _select_exact(rows // block, pos) * block \
+        + _select_exact(rows % block, pos)
     return vals, jnp.where(vals > -jnp.inf, idxs, -1)
 
 
@@ -324,8 +378,86 @@ def _pq_topk_hier(luts, codes_pad, n_valid, k: int, chunk: int, block: int,
 _BLOCK = 64
 
 
+# --- Pallas phase A: ADC fine-max without materializing scores ----------
+#
+# The XLA scan above must write each chunk's (nq, chunk) score matrix to
+# HBM before the fine-max reduce reads it back (~2 GB round-trip per 1M
+# rows at nq=256 — the measured 6.3 ms vs the 1.4 ms compute). This
+# kernel computes the one-hot contraction AND the per-block maxima inside
+# VMEM, so HBM sees only the codes in (m bytes/row) and the maxima out.
+# Layout mirrors ops/topk_pallas._finemax_kernel: DB rows on sublanes, so
+# the per-64-consecutive-row maxima reduce is a free sublane reshape.
+
+
+def _adc_finemax_kernel(lut_ref, codes_ref, expand_ref, fmax_ref, *,
+                        n_total, tile_rows, block, ksub):
+    t = pl.program_id(0)
+    # one-hot over the FLAT (m*ksub) id axis: lane l belongs to subspace
+    # l//ksub and centroid l%ksub, so oh[r, l] = (codes[r, l//ksub] ==
+    # l%ksub). The lane-repeat of codes is done ON THE MXU via the
+    # constant expansion matrix E[j, l] = [l//ksub == j] (a
+    # vector-shape-cast repeat fails Mosaic layout inference on this
+    # toolchain). Code values <= 255 are exact in bf16, so the tiny
+    # (tile, m) x (m, m*ksub) dot reproduces them exactly.
+    # uint8 -> bf16 has no direct Mosaic lowering; hop via int32/f32
+    codes_bf = codes_ref[...].astype(jnp.int32).astype(jnp.float32) \
+        .astype(jnp.bfloat16)
+    rep = jax.lax.dot_general(
+        codes_bf, expand_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (tile, m*ksub)
+    lane_c = jax.lax.broadcasted_iota(
+        jnp.int32, rep.shape, 1) % ksub
+    oh = (rep == lane_c.astype(jnp.float32)).astype(lut_ref.dtype)
+    scores = jax.lax.dot_general(
+        oh, lut_ref[...],                                 # (m*ksub, nq)
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=(jax.lax.Precision.HIGHEST
+                   if lut_ref.dtype == jnp.float32 else None),
+        preferred_element_type=jnp.float32)               # (tile, nq)
+    nt, nq = scores.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (nt, nq), 0) + t * tile_rows
+    scores = jnp.where(row < n_total, scores, -jnp.inf)
+    fmax_ref[...] = scores.reshape(nt // block, block, nq).max(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "tile_rows",
+                                             "block", "interpret"))
+def _adc_finemax_pallas(luts_flat_t, codes_pad, n_valid: int,
+                        tile_rows: int, block: int, interpret: bool):
+    """(NB, nq) fine-block ADC maxima. ``luts_flat_t`` is (m*ksub, nq) in
+    the compute dtype; ``codes_pad`` rows must be a ``tile_rows``
+    multiple. VMEM per tile: codes (tile*m B) + one-hot (tile*m*ksub*2 B
+    bf16) + scores (tile*nq*4 B) — tile 1024 at m=32/ksub=16/nq=256 is
+    ~2.3 MB, well under the 16 MB scope."""
+    mk, nq = luts_flat_t.shape
+    m = codes_pad.shape[1]
+    ksub = mk // m
+    tiles = codes_pad.shape[0] // tile_rows
+    fpt = tile_rows // block
+    expand = jnp.repeat(jnp.eye(m, dtype=jnp.bfloat16), ksub, axis=1)
+    return pl.pallas_call(
+        functools.partial(_adc_finemax_kernel, n_total=n_valid,
+                          tile_rows=tile_rows, block=block, ksub=ksub),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((mk, nq), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, m), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, mk), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((fpt, nq), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles * fpt, nq), jnp.float32),
+        interpret=interpret,
+    )(luts_flat_t, codes_pad, expand)
+
+
 def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
-            block: int = _BLOCK, compute_dtype=None
+            block: int = _BLOCK, compute_dtype=None,
+            use_pallas: Optional[bool] = None
             ) -> Tuple[jax.Array, jax.Array]:
     """Streaming ADC top-k: (values, indices) of the best ``k`` rows per
     query; ``-inf``/-1 pad past the corpus when k > N.
@@ -358,6 +490,14 @@ def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
     if pad:
         codes = jnp.concatenate(
             [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)])
+    mk = luts.shape[1] * luts.shape[2]
+    if use_pallas is None:   # auto: real TPU + a one-hot that fits VMEM
+        use_pallas = jax.default_backend() == "tpu" and mk <= 1024
+    if use_pallas:
+        phase_a = "pallas" if jax.default_backend() == "tpu" \
+            else "interpret"
+        return _pq_topk_hier(luts, codes, jnp.int32(n), k, chunk, block,
+                             dt_name, phase_a=phase_a, n_static=n)
     return _pq_topk_hier(luts, codes, jnp.int32(n), k, chunk, block,
                          dt_name)
 
