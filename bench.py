@@ -189,6 +189,80 @@ def bench_ranking_qps(n_db: int = 1_000_000, dim: int = 2048, nq: int = 64,
     return nq / (best / n_iter)
 
 
+def bench_pq_qps(n_db: int = 1_000_000, m: int = 32, ksub: int = 16,
+                 nq: int = 256, k: int = 100, n_iter: int = 6,
+                 compute_dtype="bfloat16", _cache={}):
+    """ADC (product-quantized) serving throughput: the capacity tier.
+
+    Codes are synthesized uniformly (uint8 codebook ids) — ADC cost is
+    independent of code content — and lookup tables come from real
+    ``pq_lookup`` calls on random queries/codebooks. Same eager
+    back-to-back dispatch pattern as :func:`bench_ranking_qps`. A 16M-row
+    index is 512 MB at m=32 — a corpus no dense representation fits on
+    one chip (bf16 would need 64 GB)."""
+    import jax.numpy as jnp
+
+    from dirjax.ops.pq import pq_lookup, pq_topk
+
+    ck = (n_db, m, ksub)
+    if ck not in _cache:
+        _cache.clear()
+        _cache[ck] = jax.random.randint(
+            jax.random.PRNGKey(3), (n_db, m), 0, ksub, jnp.uint8)
+    codes = _cache[ck]
+    dim = 2048
+    dsub = dim // m
+    cbs = jax.random.normal(jax.random.PRNGKey(4), (m, ksub, dsub),
+                            jnp.float32)
+    luts = [pq_lookup(jax.random.normal(jax.random.PRNGKey(20 + j),
+                                        (nq, dim), jnp.float32), cbs)
+            for j in range(n_iter)]
+    dt = None if compute_dtype == "float32" else jnp.bfloat16
+
+    def rank(l_):
+        vals, _ = pq_topk(l_, codes, k, compute_dtype=dt)
+        return vals
+
+    _sync(rank(luts[0]))  # compile + warm
+    _sync(rank(luts[1]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for l_ in luts:
+            vals = rank(l_)
+        _sync(vals)
+        best = min(best, time.perf_counter() - t0)
+    return nq / (best / n_iter)
+
+
+def bench_pq_device_qps(n_db: int = 1_000_000, m: int = 32, ksub: int = 16,
+                        nq: int = 256, k: int = 100, n_iter: int = 8):
+    """Pure device-time PQ throughput (chained-fori two-point slope): the
+    eager metric above is tunnel-dispatch-bound once device time drops
+    under the ~3-5 ms per-dispatch cost; this is what a production host
+    (no 8 MB/s tunnel) would sustain."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from dirjax.ops.pq import _BLOCK, _pq_topk_hier, pq_lookup
+
+    chunk = 131072
+    npad = -(-n_db // chunk) * chunk
+    codes = jax.random.randint(jax.random.PRNGKey(3), (npad, m), 0, ksub,
+                               jnp.uint8)
+    dim = 2048
+    cbs = jax.random.normal(jax.random.PRNGKey(4), (m, ksub, dim // m),
+                            jnp.float32)
+    luts = pq_lookup(jax.random.normal(jax.random.PRNGKey(5), (nq, dim),
+                                       jnp.float32), cbs)
+    fn = functools.partial(_pq_topk_hier, n_valid=jnp.int32(n_db), k=k,
+                           chunk=chunk, block=_BLOCK, dt_name="bfloat16",
+                           phase_a="pallas", n_static=n_db)
+    sec = _timed_loop(lambda l, c: fn(l, c)[0], (luts, codes), n_iter)
+    return nq / sec
+
+
 def bench_head_ms(n_iter: int = 20):
     from dirjax.ops.gem_head import fused_gem_head
 
@@ -254,6 +328,26 @@ def main():
     finally:
         # release the capacity corpus before the head bench
         bench_ranking_qps.__defaults__[-1].clear()  # the _cache dict
+
+    try:
+        # product-quantized (ADC) serving: the capacity tier — 32 B/row
+        extras["pq_qps_1M_m32k16_bf16_nq256"] = round(bench_pq_qps(), 1)
+        extras["pq_qps_1M_m32k16_fp32_nq256"] = round(
+            bench_pq_qps(compute_dtype="float32"), 1)
+        # 16M rows resident on ONE chip (512 MB of codes; dense bf16
+        # would need 64 GB)
+        extras["pq_qps_16M_m32k16_bf16_nq256"] = round(
+            bench_pq_qps(n_db=16_000_000), 1)
+    except Exception as e:
+        extras["pq_error"] = str(e)[:120]
+    finally:
+        bench_pq_qps.__defaults__[-1].clear()
+
+    try:
+        extras["pq_qps_device_1M_m32k16_bf16_nq256"] = round(
+            bench_pq_device_qps(), 1)
+    except Exception as e:
+        extras["pq_device_error"] = str(e)[:120]
 
     try:
         extras["fused_head_ms"] = round(bench_head_ms(), 3)
