@@ -45,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="centroids per PQ subspace (<=256). 16 is the "
                         "TPU-fast default; 256 halves the bytes per row "
                         "at the same M (classic PQ) but ranks ~4x slower")
+    b.add_argument("--ivf", type=int, default=0, metavar="NLIST",
+                   help="add an inverted file with NLIST coarse cells on "
+                        "top of PQ codes (IVFADC): queries scan only "
+                        "--nprobe cells — corpus-size-independent "
+                        "latency. Implies --pq (default m=32)")
+    b.add_argument("--nprobe", type=int, default=8,
+                   help="with --ivf: default cells probed per query "
+                        "(recall knob; query-time --nprobe overrides)")
     b.add_argument("--opq", action="store_true",
                    help="with --pq: learn an OPQ rotation first "
                         "(better recall on whitened descriptors)")
@@ -58,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--descs", required=True,
                    help="(Nq, D) .npy query descriptors (qdescs)")
     q.add_argument("-k", "--topk", type=int, default=10)
+    q.add_argument("--nprobe", type=int, default=0,
+                   help="IVF indexes: cells probed per query "
+                        "(0 = the index's build-time default)")
     q.add_argument("--aqe", type=int, nargs=2, metavar=("K", "ALPHA"),
                    default=None, help="alpha-query-expansion before ranking")
     q.add_argument("--int8-queries", action="store_true",
@@ -77,7 +88,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..serving import PQIndex, RetrievalIndex
+    from ..serving import IVFPQIndex, PQIndex, RetrievalIndex
 
     if args.cmd == "build":
         descs = np.load(args.descs)
@@ -87,7 +98,16 @@ def main(argv=None):
                     if ln.strip()]
             assert len(keys) == len(descs), \
                 f"{len(keys)} keys != {len(descs)} descriptors"
-        if args.pq:
+        if args.ivf:
+            index = IVFPQIndex(descs, nlist=args.ivf, m=args.pq or 32,
+                               ksub=args.pq_ksub, nprobe=args.nprobe,
+                               keys=keys, opq=args.opq,
+                               rerank=args.pq_rerank)
+            kind = (f"ivf nlist={args.ivf} nprobe={args.nprobe} "
+                    f"pq m={index.m} ksub={args.pq_ksub}"
+                    + (" opq" if args.opq else "")
+                    + (" +int8-rerank" if args.pq_rerank else ""))
+        elif args.pq:
             index = PQIndex(descs, m=args.pq, ksub=args.pq_ksub, keys=keys,
                             opq=args.opq, rerank=args.pq_rerank)
             kind = (f"pq m={args.pq} ksub={args.pq_ksub}"
@@ -107,7 +127,16 @@ def main(argv=None):
     q = np.load(args.descs)
     aqe = ({"k": args.aqe[0], "alpha": float(args.aqe[1])}
            if args.aqe else None)
-    if isinstance(index, PQIndex):
+    if isinstance(index, IVFPQIndex):
+        if args.int8_queries:
+            raise SystemExit("--int8-queries applies to int8 indexes; "
+                             "this is an IVF-PQ index (ADC scoring)")
+        if aqe:
+            raise SystemExit("--aqe is not supported on IVF indexes yet "
+                             "(use a flat --pq index for compressed AQE)")
+        vals, idxs = index.search(q, k=args.topk,
+                                  nprobe=args.nprobe or None)
+    elif isinstance(index, PQIndex):
         if args.int8_queries:
             raise SystemExit("--int8-queries applies to int8 indexes; "
                              "this is a PQ index (ADC scoring)")

@@ -9,6 +9,14 @@ from .pooling import (  # noqa: F401
     sympow,
     sympow_pool,
 )
+from .ivf import (  # noqa: F401
+    IVFArrays,
+    bin_ivf,
+    build_ivf,
+    ivf_assign,
+    ivf_topk,
+    train_ivf,
+)
 from .pq import (  # noqa: F401
     encode_pq,
     pq_lookup,

@@ -21,12 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.ivf import (IVFArrays, bin_ivf, build_ivf, ivf_assign, ivf_topk,
+                      unbin_ivf)
 from .ops.pq import (encode_pq, pq_lookup, pq_topk, reconstruct_pq,
                      train_opq, train_pq)
 from .ops.qe import expand_queries_chunked
 from .ops.topk_pallas import quantize_db, rank_topk_fused
 
-__all__ = ["RetrievalIndex", "PQIndex"]
+__all__ = ["RetrievalIndex", "PQIndex", "IVFPQIndex"]
 
 
 class RetrievalIndex:
@@ -206,9 +208,12 @@ class RetrievalIndex:
     def load(cls, path: str, mesh=None, dtype=None):
         """``dtype=None`` keeps the stored representation (int8 archives
         reload as int8 without a quantization pass; fp32 archives as fp32).
-        PQ archives (:meth:`PQIndex.save`) dispatch to :meth:`PQIndex.load`,
-        so one loader opens any dirjax index file."""
+        PQ/IVF archives (:meth:`PQIndex.save` / :meth:`IVFPQIndex.save`)
+        dispatch to their own loaders, so one loader opens any dirjax
+        index file."""
         with np.load(path, allow_pickle=False) as probe:
+            if "ivf_codes" in probe:
+                return IVFPQIndex.load(path)
             if "pq_codes" in probe:
                 return PQIndex.load(path, mesh=mesh)
         with np.load(path, allow_pickle=False) as data:
@@ -481,3 +486,187 @@ class PQIndex:
 
             idx._codes, idx._n_valid = shard_codes(codes, mesh)
         return idx
+
+
+class IVFPQIndex:
+    """Inverted-file PQ index: corpus-size-independent query latency.
+
+    :class:`PQIndex` still *scans every code* — linear in corpus size. An
+    inverted file (:mod:`dirjax.ops.ivf`) partitions rows into ``nlist``
+    coarse cells and each query scores only its ``nprobe`` nearest cells'
+    residual PQ codes (IVFADC): at 16M rows with a ~1% scan fraction the
+    per-batch work is what a 200K-row flat scan costs. Approximation is
+    two-layer — the PQ quantizer (same as :class:`PQIndex`) plus the
+    probe's recall-vs-``nprobe`` trade; ``nprobe >= nvlist`` degrades to
+    exact flat ADC over reconstructions.
+
+    Options mirror :class:`PQIndex`: ``opq`` learns a rotation first,
+    ``rerank`` keeps int8 rows for exact shortlist rescoring,
+    ``compute_dtype=jnp.bfloat16`` for ~3x faster TPU ADC. No mesh mode
+    yet (shard by slabs is the natural layout — future work); the whole
+    point of IVF is that one chip serves the corpus.
+    """
+
+    NQ_BUCKETS = RetrievalIndex.NQ_BUCKETS
+    compute_dtype = None
+
+    def __init__(self, descriptors, nlist: int, m: int = 32,
+                 ksub: int = 16, *, nprobe: int = 8,
+                 keys: Optional[Sequence[str]] = None, opq: bool = False,
+                 rerank: bool = False, slab: int = 64,
+                 cap: Optional[int] = None, train_iters: int = 25,
+                 seed: int = 0, sample: Optional[int] = 262144,
+                 compute_dtype=None, _loaded=None):
+        self.compute_dtype = compute_dtype
+        self.nprobe = nprobe
+        if _loaded is not None:                # load() path
+            (self.n, self.dim, self.keys, self.rotation, self.codebooks,
+             self._centroids, self._ivf, self._rerank_db,
+             self._rerank_scales) = _loaded
+            return
+        descriptors = np.asarray(descriptors, np.float32)
+        assert descriptors.ndim == 2, "descriptors must be (N, D)"
+        self.n, self.dim = descriptors.shape
+        self.keys = list(keys) if keys is not None else None
+        if self.keys is not None:
+            assert len(self.keys) == self.n
+        if opq:
+            # OPQ supplies only the rotation here; the codebooks are
+            # retrained on COARSE RESIDUALS inside build_ivf (rotated
+            # space), which is what ADC actually quantizes
+            self.rotation, _ = train_opq(
+                descriptors, m, ksub, iters=max(4, train_iters // 2),
+                seed=seed,
+                sample=None if sample is None else min(sample, 131072))
+        else:
+            self.rotation = None
+        xr = descriptors if self.rotation is None \
+            else np.asarray(jnp.asarray(descriptors) @ self.rotation)
+        self._ivf, self._centroids, self.codebooks = build_ivf(
+            xr, nlist, m, ksub, slab=slab, cap=cap,
+            pq_iters=train_iters, seed=seed, sample=sample)
+        self._rerank_db = self._rerank_scales = None
+        if rerank:
+            self._rerank_db, self._rerank_scales = quantize_db(descriptors)
+
+    m = property(lambda self: int(self.codebooks.shape[0]))
+    ksub = property(lambda self: int(self.codebooks.shape[1]))
+    nlist = property(lambda self: int(self._centroids.shape[0]))
+
+    def _rotate(self, q):
+        return q if self.rotation is None else q @ self.rotation
+
+    # exact int8 shortlist rescore: identical contract to PQIndex's
+    _rerank = PQIndex._rerank
+
+    # --- search ---------------------------------------------------------
+    def search(self, queries, k: int = 10, *, nprobe: Optional[int] = None,
+               rerank_factor: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k (scores, indices) over the probed cells. ``nprobe``
+        overrides the index default per call (recall knob); scores are
+        ``q . centroid + q . residual-reconstruction``."""
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        assert q.shape[1] == self.dim, \
+            f"query dim {q.shape[1]} != index dim {self.dim}"
+        nq = len(q)
+        bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
+        if bucket != nq:
+            q = np.concatenate(
+                [q, np.zeros((bucket - nq, self.dim), np.float32)])
+        q = jnp.asarray(q)
+        qr = self._rotate(q)
+        luts = pq_lookup(qr, self.codebooks)
+        k_eff = max(k * rerank_factor, k) \
+            if self._rerank_db is not None else k
+        vals, idxs = ivf_topk(luts, qr, self._ivf, k_eff,
+                              nprobe=nprobe or self.nprobe,
+                              compute_dtype=self.compute_dtype)
+        if self._rerank_db is not None:
+            vals, idxs = self._rerank(q, idxs, k)
+        return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
+
+    def lookup(self, indices) -> list:
+        assert self.keys is not None, "index was built without keys"
+        return [[self.keys[j] for j in row] for row in np.asarray(indices)]
+
+    def add(self, descriptors, keys: Optional[Sequence[str]] = None) -> None:
+        """Assign + encode the new rows against the EXISTING coarse
+        centroids and codebooks, then re-bin the slab structure host-side
+        (no device re-scan of old rows). Batch additions — every add
+        rebuilds the bin tables and changes shapes (recompile)."""
+        new = np.asarray(descriptors, np.float32)
+        assert new.ndim == 2 and new.shape[1] == self.dim, new.shape
+        if self.keys is not None:
+            assert keys is not None and len(keys) == len(new), \
+                "index carries keys: add() needs one key per new row"
+        new_r = np.asarray(self._rotate(jnp.asarray(new)))
+        a_new = ivf_assign(new_r, self._centroids)
+        c_new = np.asarray(encode_pq(
+            new_r - np.asarray(self._centroids)[a_new], self.codebooks))
+        a_old, c_old = unbin_ivf(self._ivf, self.n)
+        ivf = bin_ivf(np.concatenate([a_old, a_new]),
+                      np.concatenate([c_old, c_new]),
+                      np.asarray(self._centroids),
+                      slab=self._ivf.slab,
+                      cap=self._ivf.vlist_tab.shape[1])
+        if self._rerank_db is not None:
+            r8, s8 = quantize_db(new)
+            self._rerank_db = jnp.concatenate([self._rerank_db, r8])
+            self._rerank_scales = jnp.concatenate(
+                [self._rerank_scales, s8], axis=1)
+        self._ivf = ivf
+        if self.keys is not None:
+            self.keys.extend(keys)
+        self.n += len(new)
+
+    # --- persistence ----------------------------------------------------
+    def save(self, path: str) -> None:
+        arrays = {
+            "ivf_codes": np.asarray(self._ivf.codes),
+            "ivf_slab_rows": np.asarray(self._ivf.slab_rows),
+            "ivf_vlist_tab": np.asarray(self._ivf.vlist_tab),
+            "ivf_cell_of_v": np.asarray(self._ivf.cell_of_v),
+            "ivf_centroids": np.asarray(self._centroids),
+            "ivf_meta": np.asarray([self.n, self.nprobe], np.int64),
+            "pq_codebooks": np.asarray(self.codebooks),
+        }
+        if self.rotation is not None:
+            arrays["pq_rotation"] = np.asarray(self.rotation)
+        if self._rerank_db is not None:
+            arrays["descriptors_i8"] = np.asarray(self._rerank_db[: self.n])
+            arrays["scales"] = np.asarray(self._rerank_scales)[:, : self.n]
+        if self.keys is not None:
+            arrays["keys"] = np.asarray(self.keys)
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQIndex":
+        with np.load(path, allow_pickle=False) as data:
+            centroids = np.asarray(data["ivf_centroids"], np.float32)
+            cent_of_v = data["ivf_cell_of_v"]
+            centroids_v = centroids[cent_of_v]
+            ivf = IVFArrays(
+                centroids_v=jnp.asarray(centroids_v),
+                probe_adjust=jnp.asarray(-0.5 * np.sum(
+                    np.square(centroids_v), axis=1, dtype=np.float32)),
+                vlist_tab=jnp.asarray(data["ivf_vlist_tab"]),
+                codes=jnp.asarray(data["ivf_codes"]),
+                slab_rows=jnp.asarray(data["ivf_slab_rows"]),
+                cell_of_v=jnp.asarray(cent_of_v),
+            )
+            n, nprobe = (int(v) for v in data["ivf_meta"])
+            codebooks = jnp.asarray(data["pq_codebooks"])
+            rotation = jnp.asarray(data["pq_rotation"]) \
+                if "pq_rotation" in data else None
+            keys = [str(k) for k in data["keys"]] if "keys" in data else None
+            rdb = jnp.asarray(data["descriptors_i8"]) \
+                if "descriptors_i8" in data else None
+            rsc = jnp.asarray(data["scales"]) \
+                if "descriptors_i8" in data else None
+        dim = centroids.shape[1]
+        return cls(None, nlist=0, nprobe=nprobe,
+                   _loaded=(n, dim, keys, rotation, codebooks,
+                            jnp.asarray(centroids), ivf, rdb, rsc))

@@ -1,0 +1,278 @@
+"""IVF-ADC tier: build invariants, full-probe exactness, partial-probe
+recall, and the streamed-vs-in-memory build equivalence.
+
+Reference scope note: the reference toolbox has no approximate search at
+all (ranking is one dense matmul, dirtorch/utils/common.py:30-38); these
+tests define the subsystem's own contract, anchored on dense ADC over
+reconstructions as the oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dirjax.ops.ivf import (IVFArrays, bin_ivf, build_ivf, ivf_assign,
+                            ivf_topk, train_ivf)
+from dirjax.ops.pq import encode_pq, pq_lookup
+
+
+def _dense_reference(q, centroids, assign, codes, luts):
+    """Oracle: q . centroid[cell(i)] + sum_m luts[q, m, codes[i, m]]."""
+    bias = (np.asarray(q, np.float32)
+            @ np.asarray(centroids, np.float32).T)        # (nq, nlist)
+    luts = np.asarray(luts)
+    codes = np.asarray(codes)
+    nq, n = luts.shape[0], codes.shape[0]
+    adc = np.zeros((nq, n), np.float32)
+    for mi in range(codes.shape[1]):
+        adc += luts[:, mi, :][:, codes[:, mi]]
+    return bias[:, np.asarray(assign)] + adc
+
+
+def _make(n=700, d=32, nlist=6, m=4, ksub=8, seed=0, clustered=False):
+    rng = np.random.default_rng(seed)
+    if clustered:
+        centers = rng.standard_normal((nlist, d)).astype(np.float32)
+        pick = rng.integers(0, nlist, n)
+        x = centers[pick] + 0.15 * rng.standard_normal((n, d))
+    else:
+        x = rng.standard_normal((n, d))
+    x = x.astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ivf, centroids, codebooks = build_ivf(
+        x, nlist, m, ksub, slab=16, coarse_iters=8, pq_iters=6,
+        seed=seed, sample=None)
+    return x, ivf, centroids, codebooks
+
+
+def test_build_invariants():
+    x, ivf, centroids, codebooks = _make()
+    n = x.shape[0]
+    rows = np.asarray(ivf.slab_rows)
+    flat = rows[rows >= 0]
+    # every row stored exactly once
+    assert sorted(flat.tolist()) == list(range(n))
+    # every slab owned by exactly one virtual cell
+    tab = np.asarray(ivf.vlist_tab)
+    owned = tab[tab >= 0]
+    assert sorted(owned.tolist()) == list(range(rows.shape[0]))
+    # stored codes are the residual encodings
+    assign = ivf_assign(x, centroids)
+    res = x - np.asarray(centroids)[assign]
+    want = np.asarray(encode_pq(res, codebooks))
+    codes = np.asarray(ivf.codes)
+    for s in range(rows.shape[0]):
+        for r in range(rows.shape[1]):
+            if rows[s, r] >= 0:
+                assert (codes[s, r] == want[rows[s, r]]).all()
+    # sibling virtual cells repeat their centroid
+    cv = np.asarray(ivf.centroids_v)
+    adj = np.asarray(ivf.probe_adjust)
+    np.testing.assert_allclose(adj, -0.5 * np.sum(cv * cv, axis=1),
+                               rtol=1e-6)
+
+
+def test_full_probe_matches_dense_adc():
+    x, ivf, centroids, codebooks = _make()
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((5, x.shape[1])).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    luts = pq_lookup(q, codebooks)
+    k = 12
+    vals, idxs = ivf_topk(luts, q, ivf, k, nprobe=ivf.nvlist)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+    assign = ivf_assign(x, centroids)
+    res = x - np.asarray(centroids)[assign]
+    codes = np.asarray(encode_pq(res, codebooks))
+    dense = _dense_reference(q, centroids, assign, codes, luts)
+    want = np.sort(dense, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_allclose(vals, want, atol=2e-4)
+    picked = np.take_along_axis(dense, idxs, axis=1)
+    np.testing.assert_allclose(vals, picked, atol=2e-4)
+    assert np.all((0 <= idxs) & (idxs < x.shape[0]))
+    for row in idxs:                      # no duplicate results per query
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_partial_probe_recall_on_clustered_data():
+    x, ivf, centroids, codebooks = _make(n=900, nlist=8, clustered=True,
+                                         seed=3)
+    rng = np.random.default_rng(4)
+    q = x[rng.integers(0, len(x), 6)] + 0.02 * rng.standard_normal(
+        (6, x.shape[1])).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    luts = pq_lookup(q, codebooks)
+    k = 10
+    assign = ivf_assign(x, centroids)
+    res = x - np.asarray(centroids)[assign]
+    codes = np.asarray(encode_pq(res, codebooks))
+    dense = _dense_reference(q, centroids, assign, codes, luts)
+    exact = np.argsort(dense, axis=1)[:, ::-1][:, :k]
+    _, idxs = ivf_topk(luts, q, ivf, k, nprobe=3)
+    idxs = np.asarray(idxs)
+    recall = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                      for a, b in zip(idxs, exact)])
+    assert recall >= 0.5, recall          # 3/8+ cells on tight clusters
+    # full probe recovers everything
+    _, idxs_full = ivf_topk(luts, q, ivf, k, nprobe=ivf.nvlist)
+    recall_full = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                           for a, b in zip(np.asarray(idxs_full), exact)])
+    assert recall_full == 1.0
+
+
+def test_k_past_corpus_pads():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((40, 16)).astype(np.float32)
+    ivf, centroids, codebooks = build_ivf(x, 2, 4, 8, slab=16,
+                                          coarse_iters=4, pq_iters=4,
+                                          sample=None)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    luts = pq_lookup(q, codebooks)
+    vals, idxs = ivf_topk(luts, q, ivf, 64, nprobe=4)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+    assert vals.shape == (3, 64) and idxs.shape == (3, 64)
+    assert (idxs[:, :40] >= 0).all()
+    assert (idxs[:, 40:] == -1).all()
+    assert np.isneginf(vals[:, 40:]).all()
+
+
+def test_streamed_build_matches_in_memory():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((500, 24)).astype(np.float32)
+    ivf_a, centroids, codebooks = build_ivf(
+        x, 5, 4, 8, slab=16, cap=3, coarse_iters=6, pq_iters=5,
+        sample=None)
+    # the streaming recipe: assign + residual-encode chunk-wise, then bin
+    assign = np.concatenate([
+        ivf_assign(x[s: s + 128], centroids) for s in range(0, 500, 128)])
+    codes = np.concatenate([
+        np.asarray(encode_pq(
+            x[s: s + 128] - np.asarray(centroids)[assign[s: s + 128]],
+            codebooks))
+        for s in range(0, 500, 128)])
+    ivf_b = bin_ivf(assign, codes, centroids, slab=16, cap=3)
+    for a, b in zip(ivf_a, ivf_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestIVFPQIndex:
+    """Serving wrapper: search/keys/add/save/load + CLI loop."""
+
+    def _data(self, n=600, d=32, seed=21):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return x
+
+    def _index(self, x, **kw):
+        from dirjax.serving import IVFPQIndex
+
+        kw.setdefault("train_iters", 5)
+        kw.setdefault("sample", None)
+        return IVFPQIndex(x, nlist=6, m=4, ksub=8, nprobe=3, **kw)
+
+    def test_self_retrieval_full_probe(self):
+        x = self._data()
+        idx = self._index(x, keys=[f"im{i}" for i in range(len(x))])
+        vals, ids = idx.search(x[:5], k=3, nprobe=idx._ivf.nvlist)
+        # PQ is lossy, so ask only that the true row ranks in the top 3
+        ids = np.asarray(ids)
+        assert all(i in row for i, row in enumerate(ids))
+        keys = idx.lookup(ids)
+        assert keys[0][list(ids[0]).index(0)] == "im0"
+        assert vals.shape == (5, 3)
+
+    def test_nprobe_recall_knob(self):
+        x = self._data()
+        idx = self._index(x)
+        _, full = idx.search(x[:8], k=5, nprobe=idx._ivf.nvlist)
+        _, part = idx.search(x[:8], k=5, nprobe=2)
+        overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5
+                           for a, b in zip(np.asarray(part),
+                                           np.asarray(full))])
+        assert 0.3 <= overlap <= 1.0   # partial probe is a subset search
+
+    def test_rerank_exactifies(self):
+        x = self._data()
+        idx = self._index(x, rerank=True)
+        vals, ids = idx.search(x[:4], k=3, nprobe=idx._ivf.nvlist)
+        # int8 rescore of the shortlist: top-1 = the row itself, and the
+        # returned score is the (near-)exact dot, not the ADC estimate
+        assert [row[0] for row in np.asarray(ids)] == [0, 1, 2, 3]
+        np.testing.assert_allclose(np.asarray(vals)[:, 0], 1.0, atol=0.05)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from dirjax.serving import IVFPQIndex, RetrievalIndex
+
+        x = self._data()
+        idx = self._index(x, keys=[f"im{i}" for i in range(len(x))],
+                          opq=True)
+        p = str(tmp_path / "ivf.npz")
+        idx.save(p)
+        # the universal loader dispatches on the archive contents
+        idx2 = RetrievalIndex.load(p)
+        assert isinstance(idx2, IVFPQIndex)
+        assert idx2.n == idx.n and idx2.keys == idx.keys
+        v1, i1 = idx.search(x[:6], k=4)
+        v2, i2 = idx2.search(x[:6], k=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-5)
+
+    def test_add_then_find_new_rows(self):
+        x = self._data()
+        idx = self._index(x[:500], keys=[f"im{i}" for i in range(500)])
+        idx.add(x[500:], keys=[f"im{i}" for i in range(500, len(x))])
+        assert idx.n == len(x)
+        _, ids = idx.search(x[500:504], k=3, nprobe=idx._ivf.nvlist)
+        assert [row[0] for row in np.asarray(ids)] == [500, 501, 502, 503]
+
+    def test_cli_ivf_build_query(self, tmp_path):
+        import json
+
+        from dirjax.cli.index import main
+
+        x = self._data(n=300)
+        dp = str(tmp_path / "f.dbdescs.npy")
+        qp = str(tmp_path / "f.qdescs.npy")
+        np.save(dp, x)
+        np.save(qp, x[:4])
+        ip = str(tmp_path / "ivf.npz")
+        main(["build", "--descs", dp, "--ivf", "4", "--pq", "4",
+              "--pq-ksub", "8", "--nprobe", "4", "--out", ip,
+              "--gpu", "-1"])
+        oj = str(tmp_path / "hits.json")
+        main(["query", "--index", ip, "--descs", qp, "-k", "3",
+              "--nprobe", "4", "--out-json", oj, "--gpu", "-1"])
+        res = json.load(open(oj))
+        assert [row[0] for row in res["indices"]] == [0, 1, 2, 3]
+
+    def test_cli_ivf_rejects_aqe(self, tmp_path):
+        from dirjax.cli.index import main
+
+        x = self._data(n=200)
+        dp = str(tmp_path / "g.dbdescs.npy")
+        np.save(dp, x)
+        ip = str(tmp_path / "g.npz")
+        main(["build", "--descs", dp, "--ivf", "4", "--out", ip,
+              "--gpu", "-1"])
+        with pytest.raises(SystemExit, match="aqe"):
+            main(["query", "--index", ip, "--descs", dp, "--aqe", "3", "2",
+                  "--gpu", "-1"])
+
+
+def test_bfloat16_compute_close():
+    x, ivf, centroids, codebooks = _make(seed=13)
+    rng = np.random.default_rng(14)
+    q = rng.standard_normal((4, x.shape[1])).astype(np.float32)
+    luts = pq_lookup(q, codebooks)
+    v32, i32 = ivf_topk(luts, q, ivf, 10, nprobe=ivf.nvlist)
+    vbf, ibf = ivf_topk(luts, q, ivf, 10, nprobe=ivf.nvlist,
+                        compute_dtype=jnp.bfloat16)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(np.asarray(i32), np.asarray(ibf))])
+    assert overlap >= 0.8, overlap
+    np.testing.assert_allclose(np.asarray(vbf), np.asarray(v32),
+                               rtol=0.03, atol=0.03)
