@@ -263,6 +263,44 @@ def bench_pq_device_qps(n_db: int = 1_000_000, m: int = 32, ksub: int = 16,
     return nq / sec
 
 
+def bench_ivf_device_qps(n_db_slabs: int = 249_856, nlist: int = 4096,
+                         m: int = 32, ksub: int = 16, nq: int = 256,
+                         nprobe: int = 32, k: int = 100, n_iter: int = 8):
+    """IVF-ADC device-slope throughput: corpus-size-independent serving.
+
+    Builds a synthetic uniform inverted file (ADC cost is independent of
+    code content, and uniform cells match what k-means produces on the
+    synthetic corpus anyway): ``n_db_slabs`` 64-row slabs over ``nlist``
+    cells — the default is ~16M rows in 512 MB of codes, scan fraction
+    nprobe/nlist = 1/128. The flat ADC scan's time grows linearly with
+    rows; this path's depends only on the probed fraction."""
+    import functools
+
+    from dirjax.ops.ivf import _ivf_topk
+    from dirjax.ops.pq import pq_lookup
+
+    slab, dim = 64, 2048
+    spl = n_db_slabs // nlist               # slabs per cell (uniform)
+    nslabs = spl * nlist
+    codes = jax.random.randint(jax.random.PRNGKey(3), (nslabs, slab, m),
+                               0, ksub, jnp.uint8)
+    slab_rows = jnp.arange(nslabs * slab, dtype=jnp.int32) \
+        .reshape(nslabs, slab)
+    vlist_tab = jnp.arange(nslabs, dtype=jnp.int32).reshape(nlist, spl)
+    cv = jax.random.normal(jax.random.PRNGKey(4), (nlist, dim), jnp.float32)
+    adj = -0.5 * jnp.sum(cv * cv, axis=1)
+    cbs = jax.random.normal(jax.random.PRNGKey(5), (m, ksub, dim // m),
+                            jnp.float32)
+    q = jax.random.normal(jax.random.PRNGKey(6), (nq, dim), jnp.float32)
+    luts = pq_lookup(q, cbs)
+    fn = functools.partial(_ivf_topk, k=k, nprobe=nprobe, chunk=128,
+                           dt_name="bfloat16")
+    sec = _timed_loop(
+        lambda l, *a: fn(l, *a)[0],
+        (luts, q, cv, adj, vlist_tab, codes, slab_rows), n_iter)
+    return nq / sec
+
+
 def bench_head_ms(n_iter: int = 20):
     from dirjax.ops.gem_head import fused_gem_head
 
@@ -348,6 +386,17 @@ def main():
             bench_pq_device_qps(), 1)
     except Exception as e:
         extras["pq_device_error"] = str(e)[:120]
+
+    try:
+        # IVF-ADC: probe 32/4096 cells of a 16M-row inverted file —
+        # latency set by the scan fraction, not the corpus size (the
+        # flat-scan pq_qps_16M number above is the comparison)
+        extras["ivf_qps_device_16M_nprobe32_nq256"] = round(
+            bench_ivf_device_qps(), 1)
+        extras["ivf_qps_device_16M_nprobe32_nq16"] = round(
+            bench_ivf_device_qps(nq=16), 1)
+    except Exception as e:
+        extras["ivf_error"] = str(e)[:120]
 
     try:
         extras["fused_head_ms"] = round(bench_head_ms(), 3)

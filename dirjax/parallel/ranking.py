@@ -21,7 +21,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_database", "shard_database_quantized", "sharded_topk",
-           "sharded_scores", "sharded_aqe", "shard_codes", "sharded_pq_topk"]
+           "sharded_scores", "sharded_aqe", "shard_codes", "sharded_pq_topk",
+           "shard_ivf", "sharded_ivf_topk"]
 
 
 def shard_database(db, mesh: Mesh, axis: str = "db"):
@@ -275,6 +276,107 @@ def sharded_pq_topk(luts, codes_sharded, k: int, mesh: Mesh, n_valid: int,
         return v, jnp.where(i >= 0, i + offset, -1)
 
     vals, idxs = local_topk(luts, codes_sharded)          # (nq, ndev*kk)
+    merged_vals, pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
+    return merged_vals, merged_idxs
+
+
+def shard_ivf(ivf, mesh: Mesh, axis: str = "db"):
+    """Partition an inverted file (:class:`dirjax.ops.ivf.IVFArrays`)
+    cell-wise over the mesh: each device owns complete virtual cells
+    (greedy size-balanced assignment) with their slabs re-indexed locally
+    but ``slab_rows`` keeping GLOBAL row ids. Shards pad to a common
+    static shape (sentinel cells carry ``probe_adjust=-3e38`` so the
+    local probe can never pick them).
+
+    Returns an :class:`~dirjax.ops.ivf.IVFArrays` whose fields carry a
+    leading device axis, placed sharded over ``axis``.
+    """
+    import numpy as np
+
+    from ..ops.ivf import IVFArrays
+
+    ndev = mesh.shape[axis]
+    tab = np.asarray(ivf.vlist_tab)
+    cv = np.asarray(ivf.centroids_v)
+    cell = np.asarray(ivf.cell_of_v)
+    codes = np.asarray(ivf.codes)
+    rows = np.asarray(ivf.slab_rows)
+    nv, cap = tab.shape
+    sizes = (tab >= 0).sum(1)
+    loads = np.zeros(ndev, np.int64)
+    groups = [[] for _ in range(ndev)]
+    for v in np.argsort(-sizes, kind="stable"):   # greedy largest-first
+        d = int(np.argmin(loads))
+        groups[d].append(int(v))
+        loads[d] += sizes[v]
+    nvl = max(1, max(len(g) for g in groups))
+    nsl = max(1, int(loads.max()))
+    s_cv = np.zeros((ndev, nvl, cv.shape[1]), np.float32)
+    s_adj = np.full((ndev, nvl), np.float32(-3.0e38))
+    s_tab = np.full((ndev, nvl, cap), -1, np.int32)
+    s_codes = np.zeros((ndev, nsl) + codes.shape[1:], codes.dtype)
+    s_rows = np.full((ndev, nsl) + rows.shape[1:], -1, np.int32)
+    s_cell = np.full((ndev, nvl), -1, np.int32)
+    for d, g in enumerate(groups):
+        si = 0
+        for j, v in enumerate(g):
+            sl = tab[v][tab[v] >= 0]
+            s_cv[d, j] = cv[v]
+            s_adj[d, j] = -0.5 * np.dot(cv[v], cv[v])
+            s_tab[d, j, : len(sl)] = np.arange(si, si + len(sl))
+            s_cell[d, j] = cell[v]
+            s_codes[d, si: si + len(sl)] = codes[sl]
+            s_rows[d, si: si + len(sl)] = rows[sl]
+            si += len(sl)
+
+    def put(a, rank):
+        return jax.device_put(
+            jnp.asarray(a), NamedSharding(mesh, P(axis, *([None] * rank))))
+
+    return IVFArrays(
+        centroids_v=put(s_cv, 2), probe_adjust=put(s_adj, 1),
+        vlist_tab=put(s_tab, 2), codes=put(s_codes, 3),
+        slab_rows=put(s_rows, 2), cell_of_v=put(s_cell, 1))
+
+
+def sharded_ivf_topk(luts, q, ivf_sharded, k: int, mesh: Mesh, *,
+                     nprobe: int = 8, axis: str = "db",
+                     compute_dtype=None, chunk: int = 128):
+    """Global IVF-ADC top-k over a cell-sharded inverted file.
+
+    Each device probes its ``ceil(nprobe / ndev)`` nearest LOCAL cells and
+    runs the single-chip pipeline on its own slabs; the O(devices*k)
+    candidate merge is the same as :func:`sharded_topk`. Local probing is
+    the standard distributed-IVF approximation: the union differs from
+    the global top-``nprobe`` cells only when one shard holds many of
+    them — and then it probes *more* cells total, never fewer per shard.
+    """
+    from ..ops.ivf import _ivf_topk
+    from ..ops.pq import _adc_modes
+
+    luts = jnp.asarray(luts, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    ndev = mesh.shape[axis]
+    nprobe_local = max(1, -(-nprobe // ndev))
+    dt_name = jnp.dtype(_adc_modes(compute_dtype)[0]).name
+    cap = ivf_sharded.vlist_tab.shape[2]
+    cchunk = max(8, min(chunk,
+                        min(nprobe_local,
+                            ivf_sharded.vlist_tab.shape[1]) * cap))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(None, axis), P(None, axis)), check_vma=False)
+    def local_topk(luts_rep, q_rep, cv, adj, tab, codes, rows):
+        return _ivf_topk(luts_rep, q_rep, cv[0], adj[0], tab[0],
+                         codes[0], rows[0], k, nprobe_local, cchunk,
+                         dt_name)
+
+    vals, idxs = local_topk(
+        luts, q, ivf_sharded.centroids_v, ivf_sharded.probe_adjust,
+        ivf_sharded.vlist_tab, ivf_sharded.codes, ivf_sharded.slab_rows)
     merged_vals, pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
     merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
     return merged_vals, merged_idxs

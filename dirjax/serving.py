@@ -502,9 +502,11 @@ class IVFPQIndex:
 
     Options mirror :class:`PQIndex`: ``opq`` learns a rotation first,
     ``rerank`` keeps int8 rows for exact shortlist rescoring,
-    ``compute_dtype=jnp.bfloat16`` for ~3x faster TPU ADC. No mesh mode
-    yet (shard by slabs is the natural layout — future work); the whole
-    point of IVF is that one chip serves the corpus.
+    ``compute_dtype=jnp.bfloat16`` for ~3x faster TPU ADC. Multi-chip
+    serving goes through the ops layer (cell-sharded
+    :func:`dirjax.parallel.ranking.shard_ivf` /
+    :func:`~dirjax.parallel.ranking.sharded_ivf_topk`); this class stays
+    single-chip — the point of IVF is that one chip serves the corpus.
     """
 
     NQ_BUCKETS = RetrievalIndex.NQ_BUCKETS

@@ -10,6 +10,7 @@ reconstructions as the oracle.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from dirjax.ops.ivf import (IVFArrays, bin_ivf, build_ivf, ivf_assign,
@@ -260,6 +261,67 @@ class TestIVFPQIndex:
         with pytest.raises(SystemExit, match="aqe"):
             main(["query", "--index", ip, "--descs", dp, "--aqe", "3", "2",
                   "--gpu", "-1"])
+
+
+class TestShardedIVF:
+    """Cell-sharded inverted file on the 8-device virtual mesh."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        import dirjax.parallel as par
+
+        assert jax.device_count() >= 8, "conftest provides 8 devices"
+        return par.make_mesh(data=1, db=4, devices=jax.devices()[:4])
+
+    def test_full_probe_matches_single_chip(self, mesh):
+        from dirjax.parallel.ranking import shard_ivf, sharded_ivf_topk
+
+        x, ivf, centroids, codebooks = _make(n=800, nlist=8, seed=31)
+        rng = np.random.default_rng(32)
+        q = rng.standard_normal((5, x.shape[1])).astype(np.float32)
+        luts = pq_lookup(q, codebooks)
+        k = 15
+        v1, i1 = ivf_topk(luts, q, ivf, k, nprobe=ivf.nvlist)
+        sh = shard_ivf(ivf, mesh)
+        # nprobe >= nvlist * ndev: every shard probes all its cells, so
+        # the candidate set equals the single-chip full probe exactly
+        v2, i2 = sharded_ivf_topk(luts, q, sh, k, mesh,
+                                  nprobe=ivf.nvlist * 4)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+    def test_shard_partition_covers_all_slabs(self, mesh):
+        from dirjax.parallel.ranking import shard_ivf
+
+        x, ivf, _, _ = _make(n=640, nlist=7, seed=33)
+        sh = shard_ivf(ivf, mesh)
+        rows = np.asarray(sh.slab_rows)
+        flat = rows[rows >= 0]
+        assert sorted(flat.tolist()) == list(range(len(x)))
+        # every shard's local tab references only its own slab range
+        tab = np.asarray(sh.vlist_tab)
+        for d in range(tab.shape[0]):
+            local = tab[d][tab[d] >= 0]
+            assert local.max(initial=-1) < sh.codes.shape[1]
+
+    def test_partial_probe_sane(self, mesh):
+        from dirjax.parallel.ranking import shard_ivf, sharded_ivf_topk
+
+        x, ivf, centroids, codebooks = _make(n=900, nlist=8,
+                                             clustered=True, seed=35)
+        q = x[:6]
+        luts = pq_lookup(q, codebooks)
+        sh = shard_ivf(ivf, mesh)
+        vals, idxs = sharded_ivf_topk(luts, q, sh, 10, mesh, nprobe=8)
+        idxs = np.asarray(idxs)
+        assert ((idxs >= -1) & (idxs < len(x))).all()
+        # local probing approximates the single-chip probe: heavy overlap
+        _, i1 = ivf_topk(luts, q, ivf, 10, nprobe=8)
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(idxs, np.asarray(i1))])
+        assert overlap >= 0.6, overlap
 
 
 def test_bfloat16_compute_close():
