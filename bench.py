@@ -395,6 +395,8 @@ def main():
             bench_ivf_device_qps(), 1)
         extras["ivf_qps_device_16M_nprobe32_nq16"] = round(
             bench_ivf_device_qps(nq=16), 1)
+        extras["ivf_qps_device_16M_nprobe8_nq256"] = round(
+            bench_ivf_device_qps(nprobe=8), 1)
     except Exception as e:
         extras["ivf_error"] = str(e)[:120]
 

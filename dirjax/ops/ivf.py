@@ -185,6 +185,13 @@ def bin_ivf(assign, codes, centroids, *, slab: int = _SLAB,
         for j in range(ns):
             part = rows[j * slab: (j + 1) * slab]
             codes_slabbed[si + j, : len(part)] = codes[part]
+            # tail padding repeats the slab's first row's CODES (slab_rows
+            # stays -1): a pad row then scores like a real row instead of
+            # decoding code 0 to arbitrary centroids, so per-slab maxima
+            # never exceed the slab's true best — the containment
+            # argument of the union path's blind fine-max needs that
+            if len(part) < slab:
+                codes_slabbed[si + j, len(part):] = codes[part[0]]
             slab_rows[si + j, : len(part)] = part
         for v in range(int(nv_per_list[li])):
             sl = np.arange(v * cap, min((v + 1) * cap, ns)) + si
@@ -272,6 +279,37 @@ def _adc_slab_scores(luts, blk, bias, rowvalid, dt, prec):
     return jnp.where(rowvalid, bias[:, :, None] + adc, -jnp.inf)
 
 
+def _rescore_slabs(luts, codes_flat, slab_rows, win, win_ok, win_bias,
+                   k, dt, prec, slab, m):
+    """Exact rescore of (nq, kf) winning slab ids -> final (vals, idxs).
+
+    Gathers each winner's codes (one contiguous slab*m fetch) and row ids,
+    rescores with the SAME rounded tables as the fine-max phase, masks pad
+    rows, and selects the top k. Row ids can exceed fp32's exact-int
+    range, so the one-hot select splits them into 12-bit halves.
+    """
+    nq, kf = win.shape
+    wsafe = jnp.maximum(win, 0)
+    blk = jnp.take(codes_flat, wsafe.reshape(-1), axis=0) \
+        .reshape(nq, kf, slab, m)
+    rows = jnp.take(slab_rows, wsafe.reshape(-1), axis=0) \
+        .reshape(nq, kf, slab)
+    ok = (rows >= 0) & win_ok[:, :, None]
+    s3 = _adc_slab_scores(luts, blk, win_bias, ok, dt, prec) \
+        .reshape(nq, kf * slab)
+    kk = min(k, s3.shape[1])
+    vals, pos = jax.lax.top_k(s3, kk)
+    rows_flat = jnp.maximum(rows.reshape(nq, kf * slab), 0)
+    idxs = _select_exact(rows_flat >> 12, pos) * 4096 \
+        + _select_exact(rows_flat & 0xFFF, pos)
+    idxs = jnp.where(vals > -jnp.inf, idxs, -1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)),
+                       constant_values=-jnp.inf)
+        idxs = jnp.pad(idxs, ((0, 0), (0, k - kk)), constant_values=-1)
+    return vals, idxs
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "chunk",
                                              "dt_name"))
 def _ivf_topk(luts, q, centroids_v, probe_adjust, vlist_tab, codes,
@@ -323,33 +361,116 @@ def _ivf_topk(luts, q, centroids_v, probe_adjust, vlist_tab, codes,
     fv, sel = jax.lax.top_k(fmax, kf)                       # (nq, kf)
     win = _select_exact(cand, sel)                          # global slab ids
     win_bias = _select_exact(bias_s, sel)
-    wsafe = jnp.maximum(win, 0)
+    win_ok = (win >= 0) & (fv > -jnp.inf)
 
     # --- phase C: exact rescore of winning slabs (same luts/rounding) --
-    blk = jnp.take(codes_flat, wsafe.reshape(-1), axis=0) \
-        .reshape(nq, kf, slab, m)
-    rows = jnp.take(slab_rows, wsafe.reshape(-1), axis=0) \
-        .reshape(nq, kf, slab)
-    ok = (rows >= 0) & (win >= 0)[:, :, None] \
-        & (fv > -jnp.inf)[:, :, None]
-    s3 = _adc_slab_scores(luts, blk, win_bias, ok, dt, prec) \
-        .reshape(nq, kf * slab)
-    kk = min(k, s3.shape[1])
-    vals, pos = jax.lax.top_k(s3, kk)
-    # row ids can exceed fp32's exact-int range; split the one-hot select
-    rows_flat = jnp.maximum(rows.reshape(nq, kf * slab), 0)
-    idxs = _select_exact(rows_flat >> 12, pos) * 4096 \
-        + _select_exact(rows_flat & 0xFFF, pos)
-    idxs = jnp.where(vals > -jnp.inf, idxs, -1)
-    if kk < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - kk)),
-                       constant_values=-jnp.inf)
-        idxs = jnp.pad(idxs, ((0, 0), (0, k - kk)), constant_values=-1)
-    return vals, idxs
+    return _rescore_slabs(luts, codes_flat, slab_rows, win, win_ok,
+                          win_bias, k, dt, prec, slab, m)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "dt_name",
+                                             "phase_a"))
+def _ivf_topk_union(luts, q, centroids_v, probe_adjust, vlist_tab, codes,
+                    slab_rows, k: int, nprobe: int,
+                    dt_name: str = "float32", phase_a: str = "xla"):
+    """Batch-union probing: a recall-oriented mode, not a fast path.
+
+    Gathers the UNION of the batch's probed cells once (vlist-level
+    dedup) and scores every gathered slab against ALL queries as one
+    shared matmul — the flat scan's full-MXU fine-max contraction
+    (Pallas kernel on TPU) over only the probed fraction. Every query
+    then selects over the whole union, so recall is >= per-query probing
+    (a cell probed by any query serves all).
+
+    Measured (16M rows, v5e): the shared matmul is ~3x more
+    FLOP-efficient than the per-query batched matvec, but on
+    uncorrelated queries the union carries ~nq times the row-query
+    pairs, so it LOSES throughput at every batch size tried (nq=16:
+    8.3 vs 5.6 ms; nq=256: 159 vs 67 ms at nprobe=32). Use it when the
+    batch shares probe locality (then dedup collapses the union) or when
+    batch-union recall semantics are wanted; :func:`ivf_topk` defaults
+    to the per-query path.
+    """
+    dt, prec = _adc_modes(jnp.dtype(dt_name).type)
+    nq = q.shape[0]
+    nvlist, cap = vlist_tab.shape
+    nslabs, slab, m = codes.shape
+    codes_flat = codes.reshape(nslabs, slab * m)
+
+    # --- probe + vlist-level dedup (duplicate cells across queries) ----
+    cs = jnp.matmul(q, centroids_v.T, precision=_HIGHEST)   # (nq, nvlist)
+    p = min(nprobe, nvlist)
+    _, pid = jax.lax.top_k(cs + probe_adjust[None, :], p)
+    occ = pid.reshape(-1)                                   # (B,)
+    b_tot = occ.shape[0]
+    sort_ids, perm = jax.lax.sort_key_val(
+        occ, jnp.arange(b_tot, dtype=jnp.int32))
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.float32),
+         (sort_ids[1:] != sort_ids[:-1]).astype(jnp.float32)])
+    # inverse-permute without a scatter: keep[perm[j]] = first[j]
+    keep = jnp.einsum("jb,j->b", jax.nn.one_hot(perm, b_tot,
+                                                dtype=jnp.float32),
+                      first, precision=_HIGHEST) > 0.5      # (B,)
+
+    sid = jnp.take(vlist_tab, occ, axis=0)                  # (B, cap)
+    svalid = ((sid >= 0) & keep[:, None]).reshape(-1)       # (S_u,)
+    sid_flat = jnp.maximum(sid.reshape(-1), 0)
+    s_u = sid_flat.shape[0]
+    voc = jnp.repeat(occ, cap)                              # (S_u,)
+
+    # --- shared fine-max over the union's slabs ------------------------
+    cand_codes = jnp.take(codes_flat, sid_flat, axis=0)     # (S_u, slab*m)
+    rows_mat = cand_codes.reshape(s_u * slab, m)
+    luts_flat_t = luts.astype(dt).reshape(nq, -1).T         # (mk, nq)
+    if phase_a in ("pallas", "interpret"):
+        from .pq import _PALLAS_TILE, _adc_finemax_pallas
+
+        mk = luts_flat_t.shape[0]
+        tile = _PALLAS_TILE if mk <= 512 else _PALLAS_TILE // 2
+        tile = max(slab, (tile // slab) * slab)
+        pad = (-rows_mat.shape[0]) % tile
+        if pad:
+            rows_mat = jnp.concatenate(
+                [rows_mat, jnp.zeros((pad, m), rows_mat.dtype)])
+        fmax = _adc_finemax_pallas(
+            luts_flat_t, rows_mat, s_u * slab, tile_rows=tile, block=slab,
+            interpret=phase_a == "interpret").T[:, :s_u]    # (nq, S_u)
+    else:
+        from .pq import _onehot_scores
+
+        chunk_r = min(65536, max(slab, s_u * slab))
+        chunk_r = max(slab, (chunk_r // slab) * slab)
+        pad = (-rows_mat.shape[0]) % chunk_r
+        if pad:
+            rows_mat = jnp.concatenate(
+                [rows_mat, jnp.zeros((pad, m), rows_mat.dtype)])
+        chunks = rows_mat.reshape(-1, chunk_r, m)
+
+        def body(_, blk):
+            s = _onehot_scores(luts, blk, dt, prec)         # (nq, chunk_r)
+            return 0, s.reshape(nq, chunk_r // slab, slab).max(axis=2)
+
+        _, fm = jax.lax.scan(body, 0, chunks)
+        fmax = jnp.moveaxis(fm, 0, 1).reshape(nq, -1)[:, :s_u]
+
+    # --- per-occurrence bias + mask, hierarchical select ---------------
+    bias_occ = jnp.take(cs.T, voc, axis=0).T                # (nq, S_u)
+    from .pq import _NEG, _descend_maxima
+
+    fmax_b = jnp.where(svalid[None, :], fmax + bias_occ, _NEG)
+    top, tvalid = _descend_maxima(fmax_b, k)                # (nq, kf)
+    sid_r = jnp.broadcast_to(sid.reshape(-1)[None, :], (nq, s_u))
+    win = _select_exact(sid_r, top)                         # may pick -1
+    win = jnp.where(tvalid, win, -1)
+    win_bias = _select_exact(bias_occ, top)
+    return _rescore_slabs(luts, codes_flat, slab_rows, win,
+                          (win >= 0) & tvalid, win_bias, k, dt, prec,
+                          slab, m)
 
 
 def ivf_topk(luts, q, ivf: IVFArrays, k: int, *, nprobe: int = 8,
-             compute_dtype=None, chunk: int = 128
+             compute_dtype=None, chunk: int = 128, union: bool = False
              ) -> Tuple[jax.Array, jax.Array]:
     """(values, indices) of the best ``k`` rows over the probed cells.
 
@@ -359,9 +480,22 @@ def ivf_topk(luts, q, ivf: IVFArrays, k: int, *, nprobe: int = 8,
     ``compute_dtype=jnp.bfloat16`` runs both ADC contractions ~3x faster
     at ~0.4% score noise. ``chunk`` is the slab-streaming width (memory
     knob: peak transient is ~nq * chunk * slab * (m + m*ksub) bytes).
+
+    ``union=True`` switches to batch-union probing
+    (:func:`_ivf_topk_union`): the whole batch's probed cells are scored
+    once as a shared contraction and every query selects over the union
+    — higher recall (a cell probed by any query serves all) but slower
+    on uncorrelated queries (see its docstring for the measurements).
     """
     q = jnp.asarray(q, jnp.float32)
     dt_name = jnp.dtype(_adc_modes(compute_dtype)[0]).name
+    if union:
+        mk = luts.shape[1] * luts.shape[2]
+        phase_a = "pallas" if (jax.default_backend() == "tpu"
+                               and mk <= 1024) else "xla"
+        return _ivf_topk_union(luts, q, ivf.centroids_v, ivf.probe_adjust,
+                               ivf.vlist_tab, ivf.codes, ivf.slab_rows,
+                               k, nprobe, dt_name, phase_a)
     chunk = max(8, min(chunk, min(nprobe, ivf.nvlist)
                        * ivf.vlist_tab.shape[1]))
     return _ivf_topk(luts, q, ivf.centroids_v, ivf.probe_adjust,

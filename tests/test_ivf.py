@@ -122,6 +122,49 @@ def test_partial_probe_recall_on_clustered_data():
     assert recall_full == 1.0
 
 
+def test_union_matches_perquery_at_full_probe():
+    x, ivf, centroids, codebooks = _make(seed=41)
+    rng = np.random.default_rng(42)
+    q = rng.standard_normal((6, x.shape[1])).astype(np.float32)
+    luts = pq_lookup(q, codebooks)
+    v_u, i_u = ivf_topk(luts, q, ivf, 11, nprobe=ivf.nvlist, union=True)
+    v_p, i_p = ivf_topk(luts, q, ivf, 11, nprobe=ivf.nvlist, union=False)
+    np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(v_u), np.asarray(v_p), atol=2e-4)
+
+
+def test_union_dedup_no_duplicate_results():
+    x, ivf, centroids, codebooks = _make(seed=43)
+    # identical queries maximize duplicate probes across the batch
+    q = np.repeat(x[:1], 8, axis=0)
+    luts = pq_lookup(q, codebooks)
+    _, idxs = ivf_topk(luts, q, ivf, 20, nprobe=3, union=True)
+    for row in np.asarray(idxs):
+        real = [i for i in row.tolist() if i >= 0]
+        assert len(set(real)) == len(real), row
+
+
+def test_union_recall_superset_of_perquery():
+    x, ivf, centroids, codebooks = _make(n=900, nlist=8, clustered=True,
+                                         seed=45)
+    rng = np.random.default_rng(46)
+    q = x[rng.integers(0, len(x), 8)]
+    luts = pq_lookup(q, codebooks)
+    assign = ivf_assign(x, centroids)
+    res = x - np.asarray(centroids)[assign]
+    codes = np.asarray(encode_pq(res, codebooks))
+    dense = _dense_reference(q, centroids, assign, codes, luts)
+    exact = np.argsort(dense, axis=1)[:, ::-1][:, :10]
+
+    def recall(idxs):
+        return np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                        for a, b in zip(np.asarray(idxs), exact)])
+
+    _, i_u = ivf_topk(luts, q, ivf, 10, nprobe=2, union=True)
+    _, i_p = ivf_topk(luts, q, ivf, 10, nprobe=2, union=False)
+    assert recall(i_u) >= recall(i_p) - 1e-9  # union sees >= the cells
+
+
 def test_k_past_corpus_pads():
     rng = np.random.default_rng(7)
     x = rng.standard_normal((40, 16)).astype(np.float32)
