@@ -401,6 +401,16 @@ def main():
         extras["ivf_error"] = str(e)[:120]
 
     try:
+        # capacity: ~100M rows (3 GB of codes + 0.4 GB row ids) resident
+        # and served on ONE chip — 50x the int8 ceiling, 6x the flat-PQ
+        # 16M demo; a dense bf16 corpus this size would need 400 GB
+        extras["ivf_qps_device_100M_nprobe32_nq256"] = round(
+            bench_ivf_device_qps(n_db_slabs=1_556_480, nlist=16384,
+                                 n_iter=6), 1)
+    except Exception as e:
+        extras["ivf_error"] = str(e)[:120]
+
+    try:
         extras["fused_head_ms"] = round(bench_head_ms(), 3)
     except Exception as e:
         extras["head_error"] = str(e)[:120]
