@@ -161,44 +161,49 @@ def bin_ivf(assign, codes, centroids, *, slab: int = _SLAB,
     n, m = codes.shape
     nlist = centroids.shape[0]
     assert assign.shape == (n,)
-    order = np.argsort(assign, kind="stable")
+    order = np.argsort(assign, kind="stable").astype(np.int64)
     counts = np.bincount(assign, minlength=nlist)
     slabs_per_list = -(-counts // slab)  # ceil
     if cap is None:
         nonempty = max(1, int((counts > 0).sum()))
         cap = max(1, math.ceil(1.5 * slabs_per_list.sum() / nonempty))
-    nslabs = int(slabs_per_list.sum())
+    nslabs = max(1, int(slabs_per_list.sum()))
     # virtual cells: ceil(slabs/cap) siblings per non-empty cell
     nv_per_list = -(-slabs_per_list // cap)
-    nvlist = int(nv_per_list.sum())
-    codes_slabbed = np.zeros((max(nslabs, 1), slab, m), np.uint8)
-    slab_rows = np.full((max(nslabs, 1), slab), -1, np.int32)
-    vlist_tab = np.full((max(nvlist, 1), cap), -1, np.int32)
-    cent_of_v = np.zeros(max(nvlist, 1), np.int64)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    si = vi = 0
-    for li in range(nlist):
-        rows = order[starts[li]: starts[li + 1]]
-        if len(rows) == 0:
-            continue
-        ns = int(slabs_per_list[li])
-        for j in range(ns):
-            part = rows[j * slab: (j + 1) * slab]
-            codes_slabbed[si + j, : len(part)] = codes[part]
-            # tail padding repeats the slab's first row's CODES (slab_rows
-            # stays -1): a pad row then scores like a real row instead of
-            # decoding code 0 to arbitrary centroids, so per-slab maxima
-            # never exceed the slab's true best — the containment
-            # argument of the union path's blind fine-max needs that
-            if len(part) < slab:
-                codes_slabbed[si + j, len(part):] = codes[part[0]]
-            slab_rows[si + j, : len(part)] = part
-        for v in range(int(nv_per_list[li])):
-            sl = np.arange(v * cap, min((v + 1) * cap, ns)) + si
-            vlist_tab[vi, : len(sl)] = sl
-            cent_of_v[vi] = li
-            vi += 1
-        si += ns
+    nvlist = max(1, int(nv_per_list.sum()))
+    # everything below is vectorized (a per-slab Python loop costs
+    # minutes at the 100M-row scale this tier exists for)
+    row_starts = np.concatenate([[0], np.cumsum(counts)])
+    slab_starts = np.concatenate([[0], np.cumsum(slabs_per_list)])
+    # each sorted row's position in the per-list slab-padded layout
+    within = np.arange(n, dtype=np.int64) - np.repeat(
+        row_starts[:-1], counts)
+    padded_pos = np.repeat(slab_starts[:-1] * slab, counts) + within
+    rows_flat = np.full(nslabs * slab, -1, np.int64)
+    rows_flat[padded_pos] = order
+    slab_rows = rows_flat.reshape(nslabs, slab).astype(np.int32)
+    codes_flat = np.zeros((nslabs * slab, m), np.uint8)
+    codes_flat[padded_pos] = codes[order]
+    codes_slabbed = codes_flat.reshape(nslabs, slab, m)
+    # tail padding repeats the slab's FIRST row's codes (slab_rows stays
+    # -1): a pad row then scores like a real row instead of decoding
+    # code 0 to arbitrary centroids, so blind per-slab maxima (the union
+    # path's fine-max) never exceed the slab's true best
+    pad_mask = slab_rows < 0
+    if pad_mask.any():
+        codes_slabbed = np.where(pad_mask[:, :, None],
+                                 codes_slabbed[:, :1, :], codes_slabbed)
+    # virtual-cell table: slab j of list li -> vcell v_starts[li]+rel//cap
+    v_starts = np.concatenate([[0], np.cumsum(nv_per_list)])
+    li_of_slab = np.repeat(np.arange(nlist), slabs_per_list)
+    rel = np.arange(slab_starts[-1], dtype=np.int64) - np.repeat(
+        slab_starts[:-1], slabs_per_list)
+    vlist_tab = np.full((nvlist, cap), -1, np.int32)
+    vlist_tab[v_starts[li_of_slab] + rel // cap, rel % cap] = \
+        np.arange(slab_starts[-1])
+    cent_of_v = np.repeat(np.arange(nlist), nv_per_list)
+    if len(cent_of_v) == 0:                      # empty corpus guard
+        cent_of_v = np.zeros(1, np.int64)
     centroids_v = centroids[cent_of_v]
     return IVFArrays(
         centroids_v=jnp.asarray(centroids_v),
