@@ -229,28 +229,37 @@ def build_ivf(x, nlist: int, m: int = 32, ksub: int = 16, *,
     materialize, run the stages yourself and finish with :func:`bin_ivf`.
     """
     x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
     if centroids is None:
         centroids = train_ivf(x, nlist, iters=coarse_iters, seed=seed,
                               sample=sample)
+    centroids = jnp.asarray(centroids)
     assign = ivf_assign(x, centroids, chunk=chunk)
-    # residuals chunk-wise (never a second (N, D) array on device)
-    res_chunks, code_chunks = [], []
-    for start in range(0, x.shape[0], chunk):
-        blk = x[start: start + chunk]
-        r = blk - jnp.take(centroids, assign[start: start + chunk], axis=0)
-        if codebooks is None:
-            res_chunks.append(np.asarray(r))
-        else:
-            code_chunks.append(np.asarray(encode_pq(r, codebooks)))
     if codebooks is None:
-        res = np.concatenate(res_chunks)
-        codebooks = train_pq(res, m, ksub, iters=pq_iters, seed=seed,
-                             sample=sample)
-        codes = np.asarray(encode_pq(res, codebooks))
-    else:
-        codes = np.concatenate(code_chunks)
+        # train on a device-side residual SAMPLE — the full (N, D)
+        # residual matrix never exists anywhere (and never rides the
+        # host link: an earlier draft round-tripped it to the host,
+        # which is minutes of wall on a slow-transfer harness)
+        ns = n if sample is None else min(n, sample)
+        idx = np.asarray(jax.random.choice(
+            jax.random.PRNGKey(seed + 2), n, (ns,),
+            replace=False)) if ns < n else np.arange(n)
+        r = jnp.take(x, jnp.asarray(idx), axis=0) \
+            - jnp.take(centroids, jnp.asarray(assign[idx]), axis=0)
+        codebooks = train_pq(r, m, ksub, iters=pq_iters, seed=seed,
+                             sample=None)
+    # encode residuals chunk-wise on device; only the (chunk, m) uint8
+    # codes ever reach the host
+    code_chunks = []
+    for start in range(0, n, chunk):
+        blk = x[start: start + chunk]
+        r = blk - jnp.take(centroids,
+                           jnp.asarray(assign[start: start + chunk]),
+                           axis=0)
+        code_chunks.append(np.asarray(encode_pq(r, codebooks)))
+    codes = np.concatenate(code_chunks)
     ivf = bin_ivf(assign, codes, centroids, slab=slab, cap=cap)
-    return ivf, jnp.asarray(centroids), codebooks
+    return ivf, centroids, codebooks
 
 
 def unbin_ivf(ivf: IVFArrays, n: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -165,6 +165,30 @@ def test_union_recall_superset_of_perquery():
     assert recall(i_u) >= recall(i_p) - 1e-9  # union sees >= the cells
 
 
+def test_sampled_codebook_training_serves():
+    rng = np.random.default_rng(51)
+    x = rng.standard_normal((600, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    # sample < n exercises the device-side residual-sample branch
+    ivf, centroids, codebooks = build_ivf(x, 5, 4, 8, slab=16,
+                                          coarse_iters=5, pq_iters=5,
+                                          sample=200)
+    q = x[:8]
+    luts = pq_lookup(q, codebooks)
+    _, idxs = ivf_topk(luts, q, ivf, 5, nprobe=ivf.nvlist)
+    idxs = np.asarray(idxs)
+    assert ((idxs >= 0) & (idxs < 600)).all()
+    # codebooks trained on a sample still encode every row: stored codes
+    # must equal a direct re-encode of the residuals
+    assign = ivf_assign(x, centroids)
+    want = np.asarray(encode_pq(
+        x - np.asarray(centroids)[assign], codebooks))
+    rows = np.asarray(ivf.slab_rows)
+    codes = np.asarray(ivf.codes)
+    valid = rows >= 0
+    assert (codes[valid] == want[rows[valid]]).all()
+
+
 def test_k_past_corpus_pads():
     rng = np.random.default_rng(7)
     x = rng.standard_normal((40, 16)).astype(np.float32)

@@ -33,7 +33,7 @@ print("corpus built", x.shape, flush=True)
 
 t0 = time.time()
 ivf, centroids, codebooks = build_ivf(
-    x, nlist=1024, m=16, ksub=16, coarse_iters=10, pq_iters=15,
+    x, nlist=1024, m=32, ksub=16, coarse_iters=10, pq_iters=15,
     sample=262144)
 print(f"build_ivf: {time.time() - t0:.1f}s  nvlist={ivf.nvlist} "
       f"cap={ivf.vlist_tab.shape[1]} nslabs={ivf.codes.shape[0]}",
@@ -41,7 +41,7 @@ print(f"build_ivf: {time.time() - t0:.1f}s  nvlist={ivf.nvlist} "
 
 # flat PQ baseline on the same data (no residuals)
 t0 = time.time()
-flat_cb = train_pq(x, m=16, ksub=16, iters=15, sample=262144)
+flat_cb = train_pq(x, m=32, ksub=16, iters=15, sample=262144)
 flat_codes = encode_pq(x, flat_cb)
 print(f"flat pq build: {time.time() - t0:.1f}s", flush=True)
 
@@ -88,3 +88,13 @@ for nprobe in (4, 16, 64, 256, ivf.nvlist):
     r = recall(ii)
     print(f"ivf nprobe={nprobe:5d}: recall@10 {r:.3f} "
           f"(wall {time.time() - t0:.1f}s incl compile)", flush=True)
+
+# shortlist recovery: does the ADC top-40 contain the exact top-10?
+for nprobe in (16, 64):
+    _, i40 = ivf_topk(luts, qj, ivf, 40, nprobe=nprobe,
+                      compute_dtype=jnp.bfloat16)
+    r = float(np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / k
+        for a, b in zip(np.asarray(i40), exact)]))
+    print(f"ivf nprobe={nprobe}: exact@10 within ADC top-40: {r:.3f}",
+          flush=True)
