@@ -301,6 +301,34 @@ def bench_ivf_device_qps(n_db_slabs: int = 249_856, nlist: int = 4096,
     return nq / sec
 
 
+def bench_train_step(n_iter: int = 8, batch: int = 16, size: int = 224):
+    """Fine-tuning throughput: one listwise-AP train step (R101-GeM,
+    Adam, bf16 compute — the BASELINE configs[4] recipe shape). The
+    reference ships no trainer at all; this pins the dirjax trainer's
+    device cost in the artifact."""
+    import optax
+
+    from dirjax.models import create_model
+    from dirjax.train import TrainConfig, make_train_step
+
+    cfg = TrainConfig(batch_size=batch, image_size=size, loss="ap")
+    model = create_model(cfg.arch)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(cfg.learning_rate)
+    opt_state = tx.init(params)
+    step = make_train_step(model, cfg, tx, dtype=jnp.bfloat16)
+    images = jax.random.normal(jax.random.PRNGKey(1),
+                               (batch, size, size, 3), jnp.float32)
+    labels = jnp.asarray(np.repeat(np.arange(batch // 4), 4))
+
+    def fn(imgs, params_, opt_, labels_):
+        _, _, loss = step(params_, opt_, imgs, labels_)
+        return loss
+
+    sec = _timed_loop(fn, (images, params, opt_state, labels), n_iter)
+    return batch / sec
+
+
 def bench_head_ms(n_iter: int = 20):
     from dirjax.ops.gem_head import fused_gem_head
 
@@ -408,12 +436,18 @@ def main():
             bench_ivf_device_qps(n_db_slabs=1_556_480, nlist=16384,
                                  n_iter=6), 1)
     except Exception as e:
-        extras["ivf_error"] = str(e)[:120]
+        extras["ivf_100M_error"] = str(e)[:120]
 
     try:
         extras["fused_head_ms"] = round(bench_head_ms(), 3)
     except Exception as e:
         extras["head_error"] = str(e)[:120]
+
+    try:
+        extras["train_img_per_sec_r101_224_ap_bf16"] = round(
+            bench_train_step(), 2)
+    except Exception as e:
+        extras["train_error"] = str(e)[:120]
 
     extras["bench_wallclock_s"] = round(time.time() - t_start, 1)
     extras["backend"] = jax.default_backend()

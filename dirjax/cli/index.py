@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--nprobe", type=int, default=0,
                    help="IVF indexes: cells probed per query "
                         "(0 = the index's build-time default)")
+    q.add_argument("--adc-bf16", action="store_true",
+                   help="PQ/IVF indexes: run the ADC contraction in "
+                        "bfloat16 (~3x faster on the TPU MXU, ~0.4%% "
+                        "score noise)")
     q.add_argument("--aqe", type=int, nargs=2, metavar=("K", "ALPHA"),
                    default=None, help="alpha-query-expansion before ranking")
     q.add_argument("--int8-queries", action="store_true",
@@ -123,7 +127,11 @@ def main(argv=None):
               f"({kind}{', keyed' if keys else ''}) -> {args.out}")
         return index
 
-    index = RetrievalIndex.load(args.index)   # PQ archives auto-dispatch
+    index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch
+    if args.adc_bf16:
+        if not isinstance(index, (PQIndex, IVFPQIndex)):
+            raise SystemExit("--adc-bf16 applies to PQ/IVF (ADC) indexes")
+        index.compute_dtype = jnp.bfloat16
     q = np.load(args.descs)
     aqe = ({"k": args.aqe[0], "alpha": float(args.aqe[1])}
            if args.aqe else None)

@@ -201,6 +201,27 @@ class TestIndexCLI:
                     "--aqe", "4", "3", "--int8-queries", "--gpu", "-1"])
         assert [row[0] for row in out["indices"]] == [0, 1, 2, 3, 4]
 
+    def test_adc_bf16_query(self, tmp_path):
+        import pytest
+
+        from dirjax.cli.index import main
+
+        dp, qp, kp = self._descs(tmp_path)
+        ip = str(tmp_path / "pq.npz")
+        main(["build", "--descs", dp, "--pq", "8", "--out", ip,
+              "--gpu", "-1"])
+        out = main(["query", "--index", ip, "--descs", qp, "-k", "3",
+                    "--adc-bf16", "--gpu", "-1"])
+        # ADC on 64 rows at bf16 precision: self-match must still win
+        assert [row[0] for row in out["indices"]] == [0, 1, 2, 3, 4]
+
+        # flat indexes have no ADC contraction: flag must refuse
+        fp = str(tmp_path / "flat.npz")
+        main(["build", "--descs", dp, "--out", fp, "--gpu", "-1"])
+        with pytest.raises(SystemExit, match="PQ/IVF"):
+            main(["query", "--index", fp, "--descs", qp,
+                  "--adc-bf16", "--gpu", "-1"])
+
     def test_key_count_mismatch_asserts(self, tmp_path):
         import pytest
 
