@@ -302,10 +302,18 @@ def bench_ivf_device_qps(n_db_slabs: int = 249_856, nlist: int = 4096,
 
 
 def bench_train_step(n_iter: int = 8, batch: int = 16, size: int = 224):
-    """Fine-tuning throughput: one listwise-AP train step (R101-GeM,
-    Adam, bf16 compute — the BASELINE configs[4] recipe shape). The
-    reference ships no trainer at all; this pins the dirjax trainer's
-    device cost in the artifact."""
+    """Fine-tuning throughput: listwise-AP train steps (R101-GeM, Adam,
+    bf16 compute — the BASELINE configs[4] recipe shape). The reference
+    ships no trainer at all; this pins the dirjax trainer's device cost
+    in the artifact.
+
+    Unlike ``_timed_loop`` this compiles ONE loop with a *dynamic* trip
+    count (``lax.fori_loop`` with a traced bound lowers to while_loop):
+    the R101 fwd+bwd+Adam graph is by far the largest in this file and
+    compiling it twice for two static trip counts doubles a multi-minute
+    tunnel compile for no measurement benefit. Consecutive steps thread
+    real (params, opt_state) — the actual training dependence chain — so
+    XLA cannot overlap or elide iterations."""
     import optax
 
     from dirjax.models import create_model
@@ -321,11 +329,32 @@ def bench_train_step(n_iter: int = 8, batch: int = 16, size: int = 224):
                                (batch, size, size, 3), jnp.float32)
     labels = jnp.asarray(np.repeat(np.arange(batch // 4), 4))
 
-    def fn(imgs, params_, opt_, labels_):
-        _, _, loss = step(params_, opt_, imgs, labels_)
-        return loss
+    @jax.jit
+    def loop(p, o, imgs, labs, n):
+        # imgs/labs as ARGUMENTS, not closure constants — closures bake
+        # arrays into the remote compile request body (CLAUDE.md)
+        def body(_, carry):
+            p_, o_ = carry
+            p_, o_, _ = step(p_, o_, imgs, labs)
+            return (p_, o_)
 
-    sec = _timed_loop(fn, (images, params, opt_state, labels), n_iter)
+        p, o = jax.lax.fori_loop(0, n, body, (p, o))
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b).astype(jnp.float32), p, 0.0)
+
+    n_lo, n_hi = max(1, n_iter // 4), n_iter
+    _sync(loop(params, opt_state, images, labels, n_lo))   # compile + warm
+
+    def best_of(n, reps=2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _sync(loop(params, opt_state, images, labels, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = best_of(n_lo), best_of(n_hi)
+    sec = (t_hi - t_lo) / (n_hi - n_lo)
     return batch / sec
 
 

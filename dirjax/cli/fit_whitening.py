@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="output checkpoint (.npz native, .pt torch)")
     parser.add_argument("--max-images", type=int, default=0,
                         help="fit on at most this many images (0 = all)")
+    parser.add_argument("--device-fit", action="store_true",
+                        help="fit via streamed on-device covariance + host "
+                             "eigh (ops.fit_pca_device) instead of host SVD "
+                             "— for corpora where the (N, D) host matrix or "
+                             "the O(N D^2) SVD is impractical")
     return parser
 
 
@@ -74,7 +79,10 @@ def main(argv=None):
         [jnp.asarray(d) for d in chains], args.pooling, args.gemp))
 
     print(f">> Fitting PCA on {descs.shape} descriptors...")
-    ckpt.pca[args.name] = ops.fit_pca(descs)
+    if args.device_fit:
+        ckpt.pca[args.name] = ops.fit_pca_device(jnp.asarray(descs))
+    else:
+        ckpt.pca[args.name] = ops.fit_pca(descs)
 
     if args.out.endswith(".pt"):
         save_torch_checkpoint(args.out, ckpt)

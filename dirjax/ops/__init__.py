@@ -36,4 +36,5 @@ from .qe import (  # noqa: F401
 )
 from .ranking import compute_scores, compute_scores_chunked, rank_topk  # noqa: F401
 from .topk_pallas import quantize_db, rank_topk_fused  # noqa: F401
-from .whitening import PCAParams, apply_whitening, fit_pca, whitening_matrix  # noqa: F401
+from .whitening import (PCAParams, apply_whitening, fit_pca,  # noqa: F401
+                        fit_pca_device, whitening_matrix)

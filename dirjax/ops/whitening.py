@@ -24,7 +24,8 @@ import numpy as np
 
 from .normalize import l2_normalize
 
-__all__ = ["PCAParams", "fit_pca", "apply_whitening", "whitening_matrix"]
+__all__ = ["PCAParams", "fit_pca", "fit_pca_device", "apply_whitening",
+           "whitening_matrix"]
 
 
 class PCAParams(NamedTuple):
@@ -65,6 +66,74 @@ def fit_pca(X: np.ndarray, n_components: Optional[int] = None) -> PCAParams:
     return PCAParams(mean=mean.astype(np.float32),
                      components=Vt[:k].astype(np.float32),
                      variance=variance[:k].astype(np.float32))
+
+
+def fit_pca_device(X, n_components: Optional[int] = None) -> PCAParams:
+    """Covariance-PCA for corpora too large for the host-SVD path.
+
+    :func:`fit_pca` needs the full (N, D) matrix on the host and an
+    O(N·D²) SVD there — at 1M x 2048 that is an 8 GB transfer through the
+    ~8 MB/s tunnel before the maths even starts. This fit instead reduces
+    on DEVICE: it accumulates the column sum and the (D, D) Gram matrix
+    in fp32 (``precision=HIGHEST`` — bf16-truncated products measurably
+    shift small eigenvalues), pulls only the (D, D) covariance to the
+    host (16 MB at D=2048), and eigendecomposes there in fp64.
+
+    ``X`` is either one array (device or host) or an iterable of row
+    chunks (stream a corpus that never fits in HBM at once; uniform chunk
+    shapes avoid recompiles). Component signs follow the same
+    "largest-|entry| positive" rule as svd_flip applied to the rows, so
+    fits are deterministic; retrieval is sign-invariant either way (both
+    query and database rows flip together).
+
+    Eigh of the covariance squares the condition number relative to SVD,
+    but descriptor rows are L2-normalized O(1) values: fp32 accumulation
+    + fp64 eigh holds component parity with :func:`fit_pca` to ~1e-4 at
+    benchmark scales (tests/test_whitening.py).
+    """
+    import jax
+
+    chunks = [X] if hasattr(X, "shape") else X
+
+    @jax.jit
+    def accum(c, s1, s2):
+        c32 = c.astype(jnp.float32)
+        return (s1 + jnp.sum(c32, axis=0),
+                s2 + jnp.matmul(c32.T, c32,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32))
+
+    s1 = s2 = None
+    n = 0
+    for c in chunks:
+        c = jnp.asarray(c)
+        if s1 is None:
+            d = c.shape[1]
+            s1 = jnp.zeros((d,), jnp.float32)
+            s2 = jnp.zeros((d, d), jnp.float32)
+        s1, s2 = accum(c, s1, s2)
+        n += int(c.shape[0])
+    if n < 2:
+        raise ValueError(f"need at least 2 rows to fit a PCA, got {n}")
+
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    mean = s1 / n
+    cov = (s2 - n * np.outer(mean, mean)) / (n - 1)
+    w, v = np.linalg.eigh(cov)                     # ascending
+    order = np.argsort(w)[::-1]
+    w = np.clip(w[order], 0.0, None)
+    comps = v[:, order].T                          # rows = principal axes
+    max_abs = np.argmax(np.abs(comps), axis=1)
+    signs = np.sign(comps[np.arange(comps.shape[0]), max_abs])
+    signs[signs == 0] = 1.0
+    comps = comps * signs[:, None]
+    # match fit_pca's SVD default: at most min(N, D) components (the
+    # covariance has rank <= N-1; trailing eigenvectors are noise)
+    k = n_components or min(n, comps.shape[0])
+    return PCAParams(mean=mean.astype(np.float32),
+                     components=comps[:k].astype(np.float32),
+                     variance=w[:k].astype(np.float32))
 
 
 def apply_whitening(X, pca: PCAParams, whitenp: float = 0.5,

@@ -149,6 +149,21 @@ def test_fit_whitening_cli(tmp_path):
     pca = back.pca["SynClean"]
     assert pca.components.shape[1] == 16 and np.all(np.isfinite(pca.mean))
 
+    # --device-fit takes the streamed-covariance path; same descriptors,
+    # so the fitted PCA must agree with the host SVD fit
+    out_dev = str(tmp_path / "ck_whitened_dev.npz")
+    fw_main(["--dataset", "SyntheticLabels", "--checkpoint", src,
+             "--name", "SynClean", "--out", out_dev, "--device-fit",
+             "--trfs", "Scale(48), CenterCrop(48)", "--max-images", "16",
+             "--gpu", "-1"])
+    pca_dev = load_native(out_dev).pca["SynClean"]
+    np.testing.assert_allclose(pca_dev.mean, pca.mean, atol=1e-5)
+    # with N=12 samples the covariance has rank 11: the last component is
+    # null-space (variance ~0, direction arbitrary) — compare the rest
+    assert pca_dev.components.shape == pca.components.shape
+    np.testing.assert_allclose(np.abs(pca_dev.components[:-1]),
+                               np.abs(pca.components[:-1]), atol=2e-3)
+
     from dirjax.cli.test_dir import main as td_main
 
     res = td_main(["--dataset", "Synthetic", "--checkpoint", out,

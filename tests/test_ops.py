@@ -122,6 +122,45 @@ class TestWhitening:
         np.testing.assert_allclose(np.abs(ours.components), np.abs(ref.components_),
                                    atol=1e-4)
 
+    def test_fit_pca_device_matches_host_svd(self, rng):
+        # L2-normalized rows with an anisotropic spectrum — the actual
+        # descriptor regime the device fit is built for
+        X = rng.normal(size=(400, 24)) * np.linspace(3.0, 0.1, 24)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        host = ops.fit_pca(X)
+        dev = ops.fit_pca_device(jnp.asarray(X, jnp.float32))
+        np.testing.assert_allclose(dev.mean, host.mean, atol=1e-5)
+        np.testing.assert_allclose(dev.variance, host.variance,
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(np.abs(dev.components),
+                                   np.abs(host.components),
+                                   atol=2e-3)
+        # retrieval is what matters: whitened cosine scores must agree
+        # regardless of per-component sign conventions
+        q = rng.normal(size=(8, 24)).astype(np.float32)
+        db = rng.normal(size=(16, 24)).astype(np.float32)
+        s_host = np.asarray(ops.apply_whitening(q, host, whitenp=0.25)) @ \
+            np.asarray(ops.apply_whitening(db, host, whitenp=0.25)).T
+        s_dev = np.asarray(ops.apply_whitening(q, dev, whitenp=0.25)) @ \
+            np.asarray(ops.apply_whitening(db, dev, whitenp=0.25)).T
+        np.testing.assert_allclose(s_dev, s_host, rtol=1e-3, atol=1e-4)
+
+    def test_fit_pca_device_streamed_chunks(self, rng):
+        X = rng.normal(size=(96, 12)).astype(np.float32)
+        whole = ops.fit_pca_device(X)
+        # uniform 32-row chunks as a generator: the >HBM streaming path
+        chunks = (X[i:i + 32] for i in range(0, 96, 32))
+        streamed = ops.fit_pca_device(chunks)
+        np.testing.assert_allclose(streamed.mean, whole.mean, atol=1e-6)
+        np.testing.assert_allclose(streamed.variance, whole.variance,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(streamed.components, whole.components,
+                                   atol=1e-5)
+
+    def test_fit_pca_device_rejects_degenerate(self):
+        with pytest.raises(ValueError, match="at least 2 rows"):
+            ops.fit_pca_device(np.zeros((1, 4), np.float32))
+
     def test_folded_matrix_equivalent(self, rng):
         X = rng.normal(size=(10, 24)).astype(np.float32)
         pca = ops.fit_pca(rng.normal(size=(50, 24)))
