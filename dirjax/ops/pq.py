@@ -37,6 +37,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -228,7 +229,9 @@ def _pq_topk_dense(luts, codes_pad, n_valid, k: int, chunk: int,
 
 
 #: finite -inf stand-in inside the selection dots: 0 * -inf would be NaN
-_NEG = jnp.float32(-3.0e38)
+#: (host-side np scalar: a jnp constant here would initialize the backend
+#: at import time, blocking `import dirjax` on claiming the accelerator)
+_NEG = np.float32(-3.0e38)
 
 
 def _select_exact(values, sel):
