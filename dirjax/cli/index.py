@@ -61,6 +61,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "rescore the ADC shortlist at query time")
     b.add_argument("--out", required=True, help="output .npz index path")
 
+    r = sub.add_parser("remove", parents=[common],
+                       help="delete rows from an index (tombstones; "
+                            "--compact reclaims memory but renumbers)")
+    r.add_argument("--index", required=True, help=".npz from `build`")
+    r.add_argument("--keys", default="",
+                   help="file with one key per line to remove "
+                        "(keyed indexes)")
+    r.add_argument("--indices", type=int, nargs="*", default=None,
+                   help="row indices to remove")
+    r.add_argument("--compact", action="store_true",
+                   help="physically drop tombstoned rows (renumbers "
+                        "result indices; key lookups are unaffected)")
+    r.add_argument("--out", default="",
+                   help="output path (default: rewrite --index in place)")
+
     q = sub.add_parser("query", parents=[common], help="query an index")
     q.add_argument("--index", required=True, help=".npz from `build`")
     q.add_argument("--descs", required=True,
@@ -125,6 +140,24 @@ def main(argv=None):
         index.save(args.out)
         print(f"built index: {index.n} x {index.dim} "
               f"({kind}{', keyed' if keys else ''}) -> {args.out}")
+        return index
+
+    if args.cmd == "remove":
+        index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch
+        if args.keys:
+            keys = [ln.split()[0] for ln in open(args.keys) if ln.strip()]
+            n_rm = index.remove(keys=keys)
+        elif args.indices is not None:
+            n_rm = index.remove(indices=args.indices)
+        else:
+            raise SystemExit("remove: pass --keys or --indices")
+        msg = f"removed {n_rm} rows ({index.n_removed} tombstoned"
+        if args.compact:
+            index.compact()
+            msg = f"removed {n_rm} rows (compacted to {index.n}"
+        out = args.out or args.index
+        index.save(out)
+        print(msg + f") -> {out}")
         return index
 
     index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch

@@ -31,7 +31,111 @@ from .ops.topk_pallas import quantize_db, rank_topk_fused
 __all__ = ["RetrievalIndex", "PQIndex", "IVFPQIndex"]
 
 
-class RetrievalIndex:
+class _Tombstones:
+    """Deletion support shared by every index class.
+
+    ``remove()`` tombstones rows in a host-side boolean mask; searches
+    stay EXACT by over-fetching ``k + pad`` candidates from the device
+    kernels (``pad`` = the tombstone count rounded up to 64 so the set of
+    compiled top-k widths stays small) and dropping tombstoned hits in a
+    tiny (nq, k+pad) filter pass. Memory is reclaimed only by
+    :meth:`compact`, which renumbers indices — an explicit, separate step
+    because callers may hold previously returned indices.
+
+    The mask lives on the host (one bool per row) with a cached device
+    copy for the filter gather; both persist through ``save``/``load``
+    (packed bits). Caveat: alpha-query-expansion draws its expansion
+    neighbors from the raw kernel top-k, so tombstoned rows can still
+    *influence* expanded queries until ``compact()`` — they can never be
+    *returned*."""
+
+    _removed = None            # np.bool_ (n,) — None until first remove()
+    _removed_dev = None        # cached device copy for the filter gather
+
+    @property
+    def n_removed(self) -> int:
+        return 0 if self._removed is None else int(self._removed.sum())
+
+    def remove(self, keys: Optional[Sequence[str]] = None,
+               indices=None) -> int:
+        """Tombstone rows by key (keyed indexes) or by row index. Returns
+        how many rows were newly removed (already-removed rows and
+        duplicates count zero). O(n) per call — batch removals."""
+        if (keys is None) == (indices is None):
+            raise ValueError("pass exactly one of keys= / indices=")
+        if keys is not None:
+            if self.keys is None:
+                raise ValueError("index carries no keys; use indices=")
+            pos = {k: i for i, k in enumerate(self.keys)}
+            missing = [k for k in keys if k not in pos]
+            if missing:
+                raise KeyError(f"keys not in index: {missing[:5]}")
+            indices = [pos[k] for k in keys]
+        idx = np.unique(np.asarray(indices, np.int64).reshape(-1))
+        if idx.size == 0:
+            return 0
+        if idx[0] < 0 or idx[-1] >= self.n:
+            raise IndexError(f"row index out of range [0, {self.n})")
+        if self._removed is None:
+            self._removed = np.zeros(self.n, bool)
+        newly = int(np.count_nonzero(~self._removed[idx]))
+        self._removed[idx] = True
+        self._removed_dev = None
+        return newly
+
+    def _tomb_pad(self) -> int:
+        return ((self.n_removed + 63) // 64) * 64
+
+    def _tomb_filter(self, vals, idxs, k: int):
+        """Exact post-kernel filter: tombstoned (and padding) hits to
+        -inf, re-select k. Scores come back fp32."""
+        vals = jnp.asarray(vals, jnp.float32)
+        idxs = jnp.asarray(idxs)
+        if self._removed_dev is None:
+            self._removed_dev = jnp.asarray(self._removed)
+        bad = (idxs < 0) | jnp.take(self._removed_dev,
+                                    jnp.maximum(idxs, 0))
+        vals = jnp.where(bad, -jnp.inf, vals)
+        kk = min(k, vals.shape[1])
+        v2, pos = jax.lax.top_k(vals, kk)
+        i2 = jnp.take_along_axis(idxs, pos, axis=1)
+        return v2, jnp.where(v2 > -jnp.inf, i2, -1)
+
+    def _tomb_extend(self, n_new: int) -> None:
+        if self._removed is not None:
+            self._removed = np.concatenate(
+                [self._removed, np.zeros(n_new, bool)])
+            self._removed_dev = None
+
+    def _tomb_save(self, arrays: dict) -> None:
+        if self.n_removed:
+            arrays["removed_mask"] = np.packbits(self._removed)
+
+    @staticmethod
+    def _tomb_unpack(data, n: int):
+        if "removed_mask" not in data:
+            return None
+        return np.unpackbits(data["removed_mask"], count=n).astype(bool)
+
+    def compact(self) -> np.ndarray:
+        """Physically drop tombstoned rows and renumber. Returns an
+        (n_old,) int64 map old index -> new index (-1 for removed rows)
+        so callers can translate indices they saved before the compact."""
+        if self.n_removed == 0:
+            return np.arange(self.n, dtype=np.int64)
+        keep_idx = np.where(~self._removed)[0]
+        mapping = np.full(self.n, -1, np.int64)
+        mapping[keep_idx] = np.arange(keep_idx.size)
+        self._compact_rows(keep_idx)
+        if self.keys is not None:
+            self.keys = [self.keys[i] for i in keep_idx]
+        self.n = int(keep_idx.size)
+        self._removed = None
+        self._removed_dev = None
+        return mapping
+
+
+class RetrievalIndex(_Tombstones):
     """Dot-product top-k search over a fixed descriptor database.
 
     ``dtype=jnp.int8`` stores the database 8-bit quantized (per-row scales,
@@ -98,6 +202,11 @@ class RetrievalIndex:
         if bucket != nq:
             q = np.concatenate(
                 [q, np.zeros((bucket - nq, self.dim), q.dtype)])
+        if self.n_removed:
+            vals, idxs = self._search_padded(
+                q, min(k + self._tomb_pad(), self.n), aqe)
+            vals, idxs = self._tomb_filter(vals, idxs, k)
+            return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
         vals, idxs = self._search_padded(q, k, aqe)
         return vals[:nq], idxs[:nq]
 
@@ -185,14 +294,38 @@ class RetrievalIndex:
         # concat/device_put (e.g. OOM mid-add) can't leave keys/db skewed
         if self.keys is not None:
             self.keys.extend(keys)
+        self._tomb_extend(len(new))
         self.n += len(new)
+
+    def _compact_rows(self, keep_idx: np.ndarray) -> None:
+        gather = jnp.asarray(keep_idx)
+        if self.mesh is None:
+            self._db = jnp.take(self._db, gather, axis=0)
+            if self._scales is not None:
+                self._scales = jnp.take(self._scales, gather, axis=1)
+            return
+        if self._scales is None:
+            from .parallel.ranking import shard_database
+
+            merged = np.asarray(self._db[: self.n])[keep_idx]
+            self._db, self._n_valid = shard_database(
+                jnp.asarray(merged, self.dtype), self.mesh)
+        else:
+            from .parallel.ranking import shard_database_quantized
+
+            deq = np.asarray(self._db[: self.n], np.float32) \
+                * np.asarray(self._scales).T[: self.n]
+            self._db, self._scales, self._n_valid = \
+                shard_database_quantized(jnp.asarray(deq[keep_idx]),
+                                         self.mesh)
 
     # --- persistence ------------------------------------------------------
     def save(self, path: str) -> None:
         """int8 indexes persist quantized (rows + per-row scales: 4x
         smaller than fp32 and reload without re-quantizing); other dtypes
-        persist fp32."""
+        persist fp32. Tombstones persist as packed bits."""
         arrays = {}
+        self._tomb_save(arrays)
         if self._scales is not None:
             arrays["descriptors_i8"] = np.asarray(self._db[: self.n])
             arrays["scales"] = np.asarray(self._scales)[:, : self.n]
@@ -219,11 +352,15 @@ class RetrievalIndex:
         with np.load(path, allow_pickle=False) as data:
             keys = [str(k) for k in data["keys"]] if "keys" in data else None
             if "descriptors_i8" in data:
+                removed = cls._tomb_unpack(data,
+                                           len(data["descriptors_i8"]))
                 if dtype not in (None, jnp.int8):
                     # caller wants a float index back: dequantize
                     descs = data["descriptors_i8"].astype(np.float32) \
                         * data["scales"].T
-                    return cls(descs, keys=keys, mesh=mesh, dtype=dtype)
+                    idx = cls(descs, keys=keys, mesh=mesh, dtype=dtype)
+                    idx._removed = removed
+                    return idx
                 idx = cls.__new__(cls)
                 db_i8 = data["descriptors_i8"]
                 scales = data["scales"]
@@ -231,6 +368,7 @@ class RetrievalIndex:
                 idx.keys = keys
                 idx.mesh = mesh
                 idx.dtype = jnp.int8
+                idx._removed = removed
                 if mesh is None:
                     idx._db = jnp.asarray(db_i8)
                     idx._scales = jnp.asarray(scales)
@@ -243,11 +381,14 @@ class RetrievalIndex:
                         shard_database_quantized(jnp.asarray(deq), mesh)
                 return idx
             descs = data["descriptors"]
-        return cls(descs, keys=keys, mesh=mesh,
-                   dtype=jnp.float32 if dtype is None else dtype)
+            removed = cls._tomb_unpack(data, len(descs))
+        idx = cls(descs, keys=keys, mesh=mesh,
+                  dtype=jnp.float32 if dtype is None else dtype)
+        idx._removed = removed
+        return idx
 
 
-class PQIndex:
+class PQIndex(_Tombstones):
     """Product-quantized retrieval index: ~100x the corpus per chip.
 
     Rows are stored as ``m`` uint8 codebook ids (16-32 bytes/image vs 2 KB
@@ -354,11 +495,14 @@ class PQIndex:
         q = jnp.asarray(q)
         if aqe:
             q = self._expand_queries(q, k=aqe["k"], alpha=aqe["alpha"])
-        vals, idxs = self._adc_topk(
-            q, min(max(k * rerank_factor, k)
-                   if self._rerank_db is not None else k, self.n))
+        pad = self._tomb_pad() if self.n_removed else 0
+        base = max(k * rerank_factor, k) \
+            if self._rerank_db is not None else k
+        vals, idxs = self._adc_topk(q, min(base + pad, self.n))
         if self._rerank_db is not None:
-            vals, idxs = self._rerank(q, idxs, k)
+            vals, idxs = self._rerank(q, idxs, k + pad)
+        if pad:
+            vals, idxs = self._tomb_filter(vals, idxs, k)
         return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
 
     def _adc_topk(self, q, k: int):
@@ -438,7 +582,22 @@ class PQIndex:
         self._codes = codes
         if self.keys is not None:
             self.keys.extend(keys)
+        self._tomb_extend(len(new))
         self.n += len(new)
+
+    def _compact_rows(self, keep_idx: np.ndarray) -> None:
+        gather = jnp.asarray(keep_idx)
+        if self.mesh is None:
+            self._codes = jnp.take(self._codes, gather, axis=0)
+        else:
+            from .parallel.ranking import shard_codes
+
+            merged = np.asarray(self._codes[: self.n])[keep_idx]
+            self._codes, self._n_valid = shard_codes(merged, self.mesh)
+        if self._rerank_db is not None:
+            self._rerank_db = jnp.take(self._rerank_db, gather, axis=0)
+            self._rerank_scales = jnp.take(self._rerank_scales, gather,
+                                           axis=1)
 
     # --- persistence ----------------------------------------------------
     def save(self, path: str) -> None:
@@ -448,6 +607,7 @@ class PQIndex:
             "pq_codes": np.asarray(self._codes[: self.n]),
             "pq_codebooks": np.asarray(self.codebooks),
         }
+        self._tomb_save(arrays)
         if self.rotation is not None:
             arrays["pq_rotation"] = np.asarray(self.rotation)
         if self._rerank_db is not None:
@@ -469,7 +629,9 @@ class PQIndex:
             rerank = ("descriptors_i8" in data)
             db_i8 = data["descriptors_i8"] if rerank else None
             scales = data["scales"] if rerank else None
+            removed = cls._tomb_unpack(data, len(codes))
         idx = cls.__new__(cls)
+        idx._removed = removed
         idx.n, mm = codes.shape
         idx.dim = codebooks.shape[0] * codebooks.shape[2]
         assert mm == codebooks.shape[0]
@@ -488,7 +650,7 @@ class PQIndex:
         return idx
 
 
-class IVFPQIndex:
+class IVFPQIndex(_Tombstones):
     """Inverted-file PQ index: corpus-size-independent query latency.
 
     :class:`PQIndex` still *scans every code* — linear in corpus size. An
@@ -580,13 +742,16 @@ class IVFPQIndex:
         q = jnp.asarray(q)
         qr = self._rotate(q)
         luts = pq_lookup(qr, self.codebooks)
-        k_eff = max(k * rerank_factor, k) \
-            if self._rerank_db is not None else k
-        vals, idxs = ivf_topk(luts, qr, self._ivf, k_eff,
+        pad = self._tomb_pad() if self.n_removed else 0
+        k_eff = (max(k * rerank_factor, k)
+                 if self._rerank_db is not None else k) + pad
+        vals, idxs = ivf_topk(luts, qr, self._ivf, min(k_eff, self.n),
                               nprobe=nprobe or self.nprobe,
                               compute_dtype=self.compute_dtype)
         if self._rerank_db is not None:
-            vals, idxs = self._rerank(q, idxs, k)
+            vals, idxs = self._rerank(q, idxs, k + pad)
+        if pad:
+            vals, idxs = self._tomb_filter(vals, idxs, k)
         return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
 
     def lookup(self, indices) -> list:
@@ -621,7 +786,21 @@ class IVFPQIndex:
         self._ivf = ivf
         if self.keys is not None:
             self.keys.extend(keys)
+        self._tomb_extend(len(new))
         self.n += len(new)
+
+    def _compact_rows(self, keep_idx: np.ndarray) -> None:
+        a_old, c_old = unbin_ivf(self._ivf, self.n)
+        self._ivf = bin_ivf(np.asarray(a_old)[keep_idx],
+                            np.asarray(c_old)[keep_idx],
+                            np.asarray(self._centroids),
+                            slab=self._ivf.slab,
+                            cap=self._ivf.vlist_tab.shape[1])
+        if self._rerank_db is not None:
+            gather = jnp.asarray(keep_idx)
+            self._rerank_db = jnp.take(self._rerank_db, gather, axis=0)
+            self._rerank_scales = jnp.take(self._rerank_scales, gather,
+                                           axis=1)
 
     # --- persistence ----------------------------------------------------
     def save(self, path: str) -> None:
@@ -634,6 +813,7 @@ class IVFPQIndex:
             "ivf_meta": np.asarray([self.n, self.nprobe], np.int64),
             "pq_codebooks": np.asarray(self.codebooks),
         }
+        self._tomb_save(arrays)
         if self.rotation is not None:
             arrays["pq_rotation"] = np.asarray(self.rotation)
         if self._rerank_db is not None:
@@ -668,7 +848,10 @@ class IVFPQIndex:
                 if "descriptors_i8" in data else None
             rsc = jnp.asarray(data["scales"]) \
                 if "descriptors_i8" in data else None
+            removed = cls._tomb_unpack(data, n)
         dim = centroids.shape[1]
-        return cls(None, nlist=0, nprobe=nprobe,
-                   _loaded=(n, dim, keys, rotation, codebooks,
-                            jnp.asarray(centroids), ivf, rdb, rsc))
+        idx = cls(None, nlist=0, nprobe=nprobe,
+                  _loaded=(n, dim, keys, rotation, codebooks,
+                           jnp.asarray(centroids), ivf, rdb, rsc))
+        idx._removed = removed
+        return idx
