@@ -76,6 +76,23 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--out", default="",
                    help="output path (default: rewrite --index in place)")
 
+    t = sub.add_parser("tune", parents=[common],
+                       help="pick the cheapest recall knobs (nprobe / "
+                            "rerank_factor) meeting a recall@k target")
+    t.add_argument("--index", required=True, help=".npz from `build`")
+    t.add_argument("--descs", required=True,
+                   help="(Nq, D) .npy query-descriptor SAMPLE to tune on")
+    t.add_argument("--db-descs", default="",
+                   help="raw (N, D) build-time matrix: exact ground "
+                        "truth is computed from it (or pass --gt)")
+    t.add_argument("--gt", default="",
+                   help="precomputed (Nq, k) exact-neighbor .npy")
+    t.add_argument("-k", "--topk", type=int, default=10)
+    t.add_argument("--target", type=float, default=0.95,
+                   help="recall@k target")
+    t.add_argument("--apply", action="store_true",
+                   help="write the tuned nprobe back into the index file")
+
     q = sub.add_parser("query", parents=[common], help="query an index")
     q.add_argument("--index", required=True, help=".npz from `build`")
     q.add_argument("--descs", required=True,
@@ -141,6 +158,28 @@ def main(argv=None):
         print(f"built index: {index.n} x {index.dim} "
               f"({kind}{', keyed' if keys else ''}) -> {args.out}")
         return index
+
+    if args.cmd == "tune":
+        from ..tuning import tune
+
+        index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch
+        q = np.load(args.descs)
+        gt = np.load(args.gt) if args.gt else None
+        db = np.load(args.db_descs) if args.db_descs else None
+        res = tune(index, q, gt, k=args.topk, target=args.target,
+                   descriptors=db)
+        for params, r in res.trials:
+            print(f"  {params or '(no knobs)'}: recall@{args.topk} "
+                  f"= {r:.4f}")
+        state = "meets" if res.met else "BEST EFFORT, misses"
+        print(f"tuned: {res.params or '(no knobs)'} -> recall "
+              f"{res.recall:.4f} ({state} target {args.target})")
+        if args.apply and "nprobe" in res.params:
+            res.apply(index)
+            index.save(args.index)
+            print(f"applied nprobe={res.params['nprobe']} "
+                  f"-> {args.index}")
+        return res
 
     if args.cmd == "remove":
         index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch
