@@ -34,10 +34,12 @@ def recall_at_k(idxs, gt_idxs) -> float:
     idxs = np.asarray(idxs)
     gt = np.asarray(gt_idxs)
     assert idxs.shape[0] == gt.shape[0], (idxs.shape, gt.shape)
-    k = gt.shape[1]
     hits = sum(len(set(r[r >= 0].tolist()) & set(g[g >= 0].tolist()))
                for r, g in zip(idxs, gt))
-    return hits / float(idxs.shape[0] * k)
+    # denominator: VALID ground-truth entries — -1 padding (corpus
+    # smaller than k) must not make a perfect index read as recall < 1
+    denom = int((gt >= 0).sum())
+    return hits / float(denom) if denom else 1.0
 
 
 def exact_ground_truth(queries, descriptors, k: int,
@@ -98,7 +100,8 @@ def tune(index, queries, ground_truth=None, *, k: int = 10,
     ``descriptors=`` (the raw build-time matrix) to have it computed via
     :func:`exact_ground_truth`. Knobs swept per index class:
 
-    * ``IVFPQIndex`` — ``nprobe`` (powers of two up to ``nlist``), and
+    * ``IVFPQIndex`` — ``nprobe`` (powers of two up to the virtual-cell
+      count, where probing becomes exhaustive), and
       ``rerank_factor`` when the index keeps int8 rerank rows;
     * ``PQIndex`` — ``rerank_factor`` (rerank indexes; plain ADC has no
       knob and just gets measured);
@@ -113,14 +116,23 @@ def tune(index, queries, ground_truth=None, *, k: int = 10,
         if descriptors is None:
             raise ValueError("pass ground_truth= or descriptors=")
         ground_truth = exact_ground_truth(q, descriptors, k)
-    gt = np.asarray(ground_truth)[:, :k]
+    gt = np.asarray(ground_truth)
+    if gt.shape[1] < k:
+        # a narrower truth silently INFLATES recall (the denominator
+        # shrinks while search still returns k hits) -> wrong knobs
+        raise ValueError(f"ground_truth has {gt.shape[1]} columns; "
+                         f"tuning recall@{k} needs at least k")
+    gt = gt[:, :k]
 
     has_rerank = getattr(index, "_rerank_db", None) is not None
     rfs = list(rerank_factors) if has_rerank else [None]
 
     if isinstance(index, IVFPQIndex):
+        # exactness requires nprobe >= the VIRTUAL cell count (split
+        # imbalanced lists), which can exceed nlist — top the ladder
+        # there or the sweep never reaches the exhaustive setting
         ladder = list(nprobes) if nprobes is not None \
-            else _nprobe_ladder(index.nlist)
+            else _nprobe_ladder(index._ivf.nvlist)
         grid = [(dict(nprobe=p, **({} if rf is None
                                    else {"rerank_factor": rf})))
                 for p in ladder for rf in rfs]

@@ -79,7 +79,9 @@ class TestTune:
         db, q = clustered
         index = PQIndex(db, m=8, ksub=16, rerank=True, sample=None)
         res = tune(index, q, k=5, target=0.99, descriptors=db)
-        assert "rerank_factor" in (res.params or {"rerank_factor": None})
+        # the sweep must actually walk the rerank_factor knob
+        assert all("rerank_factor" in p for p, _ in res.trials)
+        assert "rerank_factor" in res.params
         recalls = [r for _, r in res.trials]
         assert res.recall == recalls[-1]
 
@@ -93,3 +95,42 @@ class TestTune:
         db, q = clustered
         with pytest.raises(ValueError, match="ground_truth"):
             tune(RetrievalIndex(db), q, k=5)
+
+    def test_rejects_narrow_ground_truth(self, clustered):
+        # a gt narrower than k silently INFLATES recall — must raise
+        db, q = clustered
+        gt5 = exact_ground_truth(q, db, 5)
+        with pytest.raises(ValueError, match="columns"):
+            tune(RetrievalIndex(db), q, gt5, k=10)
+
+    def test_small_corpus_padding_recall(self, rng):
+        # gt padded with -1 (corpus smaller than k): the denominator is
+        # the VALID gt entries, so a perfect result still reads 1.0
+        db = rng.normal(size=(5, 16)).astype(np.float32)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        gt = exact_ground_truth(q, db, 10)
+        assert (gt[:, 5:] == -1).all()
+        perfect = np.concatenate(
+            [gt[:, :5], np.full((3, 5), -1, np.int64)], axis=1)
+        assert recall_at_k(perfect, gt) == 1.0
+        # and a perfect exact index tunes to 1.0 at k == n
+        res = tune(RetrievalIndex(db), q, k=5, target=0.95,
+                   descriptors=db)
+        assert res.met and res.recall == 1.0
+
+    def test_ivf_ladder_reaches_virtual_cells(self, rng):
+        # a skewed corpus splits a hot cell into virtual siblings:
+        # nvlist > nlist, and the exhaustive sweep setting is nvlist
+        hot = rng.normal(size=(1, 16)).astype(np.float32)
+        db = np.concatenate([
+            hot + 0.01 * rng.normal(size=(120, 16)),  # one giant cell
+            rng.normal(size=(40, 16)),
+        ]).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        index = IVFPQIndex(db, nlist=4, m=4, ksub=16, nprobe=1,
+                           sample=None, slab=8, cap=4)
+        assert index._ivf.nvlist > index.nlist
+        q = db[:4]
+        res = tune(index, q, k=3, target=2.0, descriptors=db)  # sweep all
+        probed = [p["nprobe"] for p, _ in res.trials]
+        assert probed[-1] == index._ivf.nvlist
