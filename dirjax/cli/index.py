@@ -182,6 +182,8 @@ def main(argv=None):
         return res
 
     if args.cmd == "remove":
+        if args.keys and args.indices is not None:
+            raise SystemExit("remove: pass --keys OR --indices, not both")
         index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch
         if args.keys:
             keys = [ln.split()[0] for ln in open(args.keys) if ln.strip()]

@@ -42,19 +42,22 @@ class _Tombstones:
     :meth:`compact`, which renumbers indices — an explicit, separate step
     because callers may hold previously returned indices.
 
-    The mask lives on the host (one bool per row) with a cached device
-    copy for the filter gather; both persist through ``save``/``load``
-    (packed bits). Caveat: alpha-query-expansion draws its expansion
-    neighbors from the raw kernel top-k, so tombstoned rows can still
-    *influence* expanded queries until ``compact()`` — they can never be
-    *returned*."""
+    The mask lives on the host (one bool per row) — and so does the
+    filter: the candidate matrix is a tiny (nq, k+pad) host array on its
+    way out of ``search`` anyway, and a device-side filter would cost a
+    host->device re-upload plus eager dispatches through the tunnel
+    (~8 MB/s, ~3-5 ms each; CLAUDE.md). The mask persists through
+    ``save``/``load`` (packed bits). Caveat: alpha-query-expansion draws
+    its expansion neighbors from the raw kernel top-k, so tombstoned
+    rows can still *influence* expanded queries until ``compact()`` —
+    they can never be *returned*."""
 
     _removed = None            # np.bool_ (n,) — None until first remove()
-    _removed_dev = None        # cached device copy for the filter gather
+    _n_removed = 0             # cached count: searches must stay O(1) here
 
     @property
     def n_removed(self) -> int:
-        return 0 if self._removed is None else int(self._removed.sum())
+        return self._n_removed
 
     def remove(self, keys: Optional[Sequence[str]] = None,
                indices=None) -> int:
@@ -80,36 +83,39 @@ class _Tombstones:
             self._removed = np.zeros(self.n, bool)
         newly = int(np.count_nonzero(~self._removed[idx]))
         self._removed[idx] = True
-        self._removed_dev = None
+        self._n_removed += newly
         return newly
 
     def _tomb_pad(self) -> int:
         return ((self.n_removed + 63) // 64) * 64
 
     def _tomb_filter(self, vals, idxs, k: int):
-        """Exact post-kernel filter: tombstoned (and padding) hits to
-        -inf, re-select k. Scores come back fp32."""
-        vals = jnp.asarray(vals, jnp.float32)
-        idxs = jnp.asarray(idxs)
-        if self._removed_dev is None:
-            self._removed_dev = jnp.asarray(self._removed)
-        bad = (idxs < 0) | jnp.take(self._removed_dev,
-                                    jnp.maximum(idxs, 0))
-        vals = jnp.where(bad, -jnp.inf, vals)
+        """Exact post-kernel filter on the HOST: tombstoned (and
+        padding) hits to -inf, re-select k. The candidates are a tiny
+        (nq, k+pad) matrix already headed for the host, and the mask
+        lives there. Scores come back fp32."""
+        vals = np.array(np.asarray(vals), np.float32, copy=True)
+        idxs = np.asarray(idxs)
+        bad = (idxs < 0) | self._removed[np.maximum(idxs, 0)]
+        vals[bad] = -np.inf
         kk = min(k, vals.shape[1])
-        v2, pos = jax.lax.top_k(vals, kk)
-        i2 = jnp.take_along_axis(idxs, pos, axis=1)
-        return v2, jnp.where(v2 > -jnp.inf, i2, -1)
+        sel = np.argsort(-vals, axis=1, kind="stable")[:, :kk]
+        v2 = np.take_along_axis(vals, sel, axis=1)
+        i2 = np.take_along_axis(idxs, sel, axis=1)
+        return v2, np.where(v2 > -np.inf, i2, -1)
 
     def _tomb_extend(self, n_new: int) -> None:
         if self._removed is not None:
             self._removed = np.concatenate(
                 [self._removed, np.zeros(n_new, bool)])
-            self._removed_dev = None
 
     def _tomb_save(self, arrays: dict) -> None:
         if self.n_removed:
             arrays["removed_mask"] = np.packbits(self._removed)
+
+    def _tomb_restore(self, mask) -> None:
+        self._removed = mask
+        self._n_removed = 0 if mask is None else int(mask.sum())
 
     @staticmethod
     def _tomb_unpack(data, n: int):
@@ -131,7 +137,7 @@ class _Tombstones:
             self.keys = [self.keys[i] for i in keep_idx]
         self.n = int(keep_idx.size)
         self._removed = None
-        self._removed_dev = None
+        self._n_removed = 0
         return mapping
 
 
@@ -203,6 +209,9 @@ class RetrievalIndex(_Tombstones):
             q = np.concatenate(
                 [q, np.zeros((bucket - nq, self.dim), q.dtype)])
         if self.n_removed:
+            if k > self.n:   # same contract as the clean kernel path
+                raise ValueError(
+                    f"k={k} exceeds the {self.n} database rows")
             vals, idxs = self._search_padded(
                 q, min(k + self._tomb_pad(), self.n), aqe)
             vals, idxs = self._tomb_filter(vals, idxs, k)
@@ -275,21 +284,7 @@ class RetrievalIndex(_Tombstones):
             self._db = jnp.concatenate(
                 [self._db, jnp.asarray(new, self.dtype)])
         else:
-            merged = np.concatenate(
-                [np.asarray(self._db[: self.n]), new]) \
-                if self._scales is None else np.concatenate(
-                    [np.asarray(self._db[: self.n], np.float32)
-                     * np.asarray(self._scales).T[: self.n], new])
-            if self._scales is None:
-                from .parallel.ranking import shard_database
-
-                self._db, self._n_valid = shard_database(
-                    jnp.asarray(merged, self.dtype), self.mesh)
-            else:
-                from .parallel.ranking import shard_database_quantized
-
-                self._db, self._scales, self._n_valid = \
-                    shard_database_quantized(jnp.asarray(merged), self.mesh)
+            self._reshard(np.concatenate([self._host_rows(), new]))
         # extend keys only after the database swap succeeded, so a failed
         # concat/device_put (e.g. OOM mid-add) can't leave keys/db skewed
         if self.keys is not None:
@@ -298,25 +293,34 @@ class RetrievalIndex(_Tombstones):
         self.n += len(new)
 
     def _compact_rows(self, keep_idx: np.ndarray) -> None:
-        gather = jnp.asarray(keep_idx)
         if self.mesh is None:
+            gather = jnp.asarray(keep_idx)
             self._db = jnp.take(self._db, gather, axis=0)
             if self._scales is not None:
                 self._scales = jnp.take(self._scales, gather, axis=1)
             return
+        self._reshard(self._host_rows()[keep_idx])
+
+    def _host_rows(self) -> np.ndarray:
+        """Mesh path: pull the valid rows to the host, dequantized for
+        int8 indexes (one full round trip — add()/compact() document
+        the cost)."""
+        if self._scales is None:
+            return np.asarray(self._db[: self.n])
+        return np.asarray(self._db[: self.n], np.float32) \
+            * np.asarray(self._scales).T[: self.n]
+
+    def _reshard(self, rows: np.ndarray) -> None:
         if self._scales is None:
             from .parallel.ranking import shard_database
 
-            merged = np.asarray(self._db[: self.n])[keep_idx]
             self._db, self._n_valid = shard_database(
-                jnp.asarray(merged, self.dtype), self.mesh)
+                jnp.asarray(rows, self.dtype), self.mesh)
         else:
             from .parallel.ranking import shard_database_quantized
 
-            deq = np.asarray(self._db[: self.n], np.float32) \
-                * np.asarray(self._scales).T[: self.n]
             self._db, self._scales, self._n_valid = \
-                shard_database_quantized(jnp.asarray(deq[keep_idx]),
+                shard_database_quantized(jnp.asarray(rows, jnp.float32),
                                          self.mesh)
 
     # --- persistence ------------------------------------------------------
@@ -359,7 +363,7 @@ class RetrievalIndex(_Tombstones):
                     descs = data["descriptors_i8"].astype(np.float32) \
                         * data["scales"].T
                     idx = cls(descs, keys=keys, mesh=mesh, dtype=dtype)
-                    idx._removed = removed
+                    idx._tomb_restore(removed)
                     return idx
                 idx = cls.__new__(cls)
                 db_i8 = data["descriptors_i8"]
@@ -368,7 +372,7 @@ class RetrievalIndex(_Tombstones):
                 idx.keys = keys
                 idx.mesh = mesh
                 idx.dtype = jnp.int8
-                idx._removed = removed
+                idx._tomb_restore(removed)
                 if mesh is None:
                     idx._db = jnp.asarray(db_i8)
                     idx._scales = jnp.asarray(scales)
@@ -384,7 +388,7 @@ class RetrievalIndex(_Tombstones):
             removed = cls._tomb_unpack(data, len(descs))
         idx = cls(descs, keys=keys, mesh=mesh,
                   dtype=jnp.float32 if dtype is None else dtype)
-        idx._removed = removed
+        idx._tomb_restore(removed)
         return idx
 
 
@@ -631,7 +635,7 @@ class PQIndex(_Tombstones):
             scales = data["scales"] if rerank else None
             removed = cls._tomb_unpack(data, len(codes))
         idx = cls.__new__(cls)
-        idx._removed = removed
+        idx._tomb_restore(removed)
         idx.n, mm = codes.shape
         idx.dim = codebooks.shape[0] * codebooks.shape[2]
         assert mm == codebooks.shape[0]
@@ -853,5 +857,5 @@ class IVFPQIndex(_Tombstones):
         idx = cls(None, nlist=0, nprobe=nprobe,
                   _loaded=(n, dim, keys, rotation, codebooks,
                            jnp.asarray(centroids), ivf, rdb, rsc))
-        idx._removed = removed
+        idx._tomb_restore(removed)
         return idx

@@ -132,6 +132,33 @@ class TestRetrievalIndexRemove:
         np.testing.assert_array_equal(
             idxs, exact_topk(q, db[kept], 7))
 
+    def test_k_over_n_contract_survives_remove(self, corpus):
+        # the clean kernel path raises on k > n; tombstoning a row must
+        # not silently change that into shape-truncated results
+        db, q = corpus
+        index = RetrievalIndex(db)
+        with pytest.raises(ValueError, match="exceeds"):
+            index.search(q, k=len(db) + 1)
+        index.remove(indices=[0])
+        with pytest.raises(ValueError, match="exceeds"):
+            index.search(q, k=len(db) + 1)
+
+    def test_cli_remove_rejects_both_selectors(self, corpus, tmp_path):
+        import numpy as np
+
+        from dirjax.cli.index import main
+        db, _ = corpus
+        descs = str(tmp_path / "d.npy")
+        keysf = str(tmp_path / "k.txt")
+        np.save(descs, db)
+        open(keysf, "w").write("\n".join(f"i{i}" for i in range(len(db))))
+        out = str(tmp_path / "i.npz")
+        main(["build", "--descs", descs, "--keys", keysf,
+              "--out", out, "--gpu", "-1"])
+        with pytest.raises(SystemExit, match="not both"):
+            main(["remove", "--index", out, "--keys", keysf,
+                  "--indices", "1", "--gpu", "-1"])
+
     def test_add_after_remove(self, corpus):
         db, q = corpus
         index = RetrievalIndex(db)
