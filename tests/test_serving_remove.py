@@ -214,6 +214,28 @@ class TestPQRemove:
         assert back.lookup(back.search(q, k=3)[1])[0][0].startswith("k")
         assert (mapping[[8, 9, 10, 11]] == -1).all()
 
+    def test_pq_mesh_remove_and_compact(self, rng):
+        db = self._clustered(rng)
+        q = db[:4]
+        mesh = make_mesh(data=1, db=8, devices=jax.devices()[:8])
+        index = PQIndex(db, m=8, ksub=16, sample=None, mesh=mesh)
+        single = PQIndex.__new__(PQIndex)   # same codebooks, no mesh
+        single.__dict__.update(
+            {k: v for k, v in index.__dict__.items()
+             if k not in ("_codes", "_n_valid", "mesh")})
+        single.mesh = None
+        single._codes = jnp.asarray(np.asarray(index._codes[: index.n]))
+        rm = np.array([0, 9, 17, 150])
+        index.remove(indices=rm)
+        single.remove(indices=rm)
+        np.testing.assert_array_equal(index.search(q, k=6)[1],
+                                      single.search(q, k=6)[1])
+        index.compact()
+        single.compact()
+        assert index.n == single.n == len(db) - 4
+        np.testing.assert_array_equal(index.search(q, k=6)[1],
+                                      single.search(q, k=6)[1])
+
     def test_ivf_remove_and_compact(self, rng, tmp_path):
         db = self._clustered(rng, n=192)
         q = db[:4]
