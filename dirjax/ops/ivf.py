@@ -131,6 +131,8 @@ def ivf_assign(x, centroids, *, chunk: int = 16384) -> np.ndarray:
     x = jnp.asarray(x, jnp.float32)
     centroids = jnp.asarray(centroids, jnp.float32)
     n = x.shape[0]
+    if n == 0:   # empty batch (e.g. a no-op serving add()): no device work
+        return np.zeros((0,), np.int32)
     chunk = max(256, min(chunk, n, (1 << 26) // max(1, centroids.shape[0])))
     out = []
     for start in range(0, n, chunk):
@@ -400,10 +402,13 @@ def _ivf_topk_union(luts, q, centroids_v, probe_adjust, vlist_tab, codes,
     FLOP-efficient than the per-query batched matvec, but on
     uncorrelated queries the union carries ~nq times the row-query
     pairs, so it LOSES throughput at every batch size tried (nq=16:
-    8.3 vs 5.6 ms; nq=256: 159 vs 67 ms at nprobe=32). Use it when the
-    batch shares probe locality (then dedup collapses the union) or when
-    batch-union recall semantics are wanted; :func:`ivf_topk` defaults
-    to the per-query path.
+    8.3 vs 5.6 ms; nq=256: 159 vs 67 ms at nprobe=32). Note the dedup
+    only stops duplicate cells being SELECTED twice — the gather/score
+    work is static at nq*nprobe*cap slabs regardless of probe overlap
+    (TPU shapes can't contract dynamically), so correlated batches pay
+    the same as uncorrelated ones. Use it only when batch-union recall
+    semantics are wanted; :func:`ivf_topk` defaults to the per-query
+    path.
     """
     dt, prec = _adc_modes(jnp.dtype(dt_name).type)
     nq = q.shape[0]
@@ -422,10 +427,11 @@ def _ivf_topk_union(luts, q, centroids_v, probe_adjust, vlist_tab, codes,
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.float32),
          (sort_ids[1:] != sort_ids[:-1]).astype(jnp.float32)])
-    # inverse-permute without a scatter: keep[perm[j]] = first[j]
-    keep = jnp.einsum("jb,j->b", jax.nn.one_hot(perm, b_tot,
-                                                dtype=jnp.float32),
-                      first, precision=_HIGHEST) > 0.5      # (B,)
+    # inverse-permute without a scatter: sorting perm back to identity
+    # carries first into place (keep[perm[j]] = first[j]) in O(B log B)
+    # — a one-hot dot here would be an O(B^2) ~268 MB transient at B=8k
+    _, keep_f = jax.lax.sort_key_val(perm, first)
+    keep = keep_f > 0.5                                     # (B,)
 
     sid = jnp.take(vlist_tab, occ, axis=0)                  # (B, cap)
     svalid = ((sid >= 0) & keep[:, None]).reshape(-1)       # (S_u,)
@@ -443,6 +449,14 @@ def _ivf_topk_union(luts, q, centroids_v, probe_adjust, vlist_tab, codes,
         mk = luts_flat_t.shape[0]
         tile = _PALLAS_TILE if mk <= 512 else _PALLAS_TILE // 2
         tile = max(slab, (tile // slab) * slab)
+        fpt = tile // slab
+        n_tiled = rows_mat.shape[0] + ((-rows_mat.shape[0]) % tile)
+        if fpt % 8 and n_tiled != tile:
+            # fmax BlockSpec sublane (tile//slab) must be a multiple of 8
+            # or the full dim (CLAUDE.md Mosaic rules — bad shapes have
+            # wedged the chip): non-power-of-two slabs take the XLA scan
+            phase_a = "xla"
+    if phase_a in ("pallas", "interpret"):
         pad = (-rows_mat.shape[0]) % tile
         if pad:
             rows_mat = jnp.concatenate(

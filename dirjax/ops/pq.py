@@ -156,6 +156,8 @@ def encode_pq(x, codebooks, *, chunk: int = 65536):
     corpus never needs more than one (chunk, D) block on device."""
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
+    if n == 0:   # empty batch (e.g. a no-op serving add()): no device work
+        return jnp.zeros((0, codebooks.shape[0]), jnp.uint8)
     out = []
     for start in range(0, n, chunk):
         block = x[start: start + chunk]
@@ -215,8 +217,8 @@ def pq_scores(luts, codes, *, compute_dtype=None):
     return _onehot_scores(luts, jnp.asarray(codes), dt, prec)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "dt_name"))
-def _pq_topk_dense(luts, codes_pad, n_valid, k: int, chunk: int,
+@functools.partial(jax.jit, static_argnames=("k", "dt_name"))
+def _pq_topk_dense(luts, codes_pad, n_valid, k: int,
                    dt_name: str = "float32"):
     """Small-corpus path: dense scores + one top_k (chunk == padded N)."""
     dt, prec = _adc_modes(jnp.dtype(dt_name).type)
@@ -320,6 +322,16 @@ def _pq_topk_hier(luts, codes_pad, n_valid, k: int, chunk: int, block: int,
         # tile 1024 at mk=1024 measured 0.8 MB over the 16 MB scope
         tile = _PALLAS_TILE if mk <= 512 else _PALLAS_TILE // 2
         tile = min(tile, codes_pad.shape[0])
+        tile = max(block, (tile // block) * block)   # kernel reshapes
+        #                                              (tile//block, block)
+        fpt = tile // block
+        n_tiled = codes_pad.shape[0] + ((-codes_pad.shape[0]) % tile)
+        if fpt % 8 and n_tiled != tile:
+            # the fmax BlockSpec sublane (tile//block) must be a multiple
+            # of 8 or the full dim (CLAUDE.md Mosaic rules) — bad shapes
+            # have WEDGED this toolchain's chip; take the XLA scan instead
+            phase_a = "xla"
+    if phase_a in ("pallas", "interpret"):
         pad = (-codes_pad.shape[0]) % tile
         cp = jnp.concatenate(
             [codes_pad, jnp.zeros((pad, m), codes_pad.dtype)]) \
@@ -481,7 +493,7 @@ def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
             [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)]) \
             if pad else codes
         vals, idxs = _pq_topk_dense(luts, codes_pad, jnp.int32(n),
-                                    min(k, n), codes_pad.shape[0], dt_name)
+                                    min(k, n), dt_name)
         if idxs.shape[1] < k:           # pad to the requested k
             short = k - idxs.shape[1]
             vals = jnp.pad(vals, ((0, 0), (0, short)),
@@ -493,6 +505,11 @@ def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
     if pad:
         codes = jnp.concatenate(
             [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)])
+    # block ids ride fp32 one-hot dots in selection (_select_exact):
+    # exact only below 2^24 — past that the ids would silently round
+    assert codes.shape[0] // block < (1 << 24), (
+        f"N/block = {codes.shape[0] // block} exceeds fp32's exact-int "
+        f"range; raise block (>= {codes.shape[0] // ((1 << 24) - 1) + 1})")
     mk = luts.shape[1] * luts.shape[2]
     if use_pallas is None:   # auto: real TPU + a one-hot that fits VMEM
         use_pallas = jax.default_backend() == "tpu" and mk <= 1024
@@ -533,7 +550,10 @@ def train_opq(x, m: int = 16, ksub: int = 256, *, iters: int = 25,
     r = jnp.eye(d, dtype=jnp.float32)
     codebooks = None
     for _ in range(opq_iters):
-        xr = x @ r
+        # all fp32 matmuls here at HIGHEST: default-precision inputs get
+        # bf16-truncated on TPU, so R drifts from orthogonal and the
+        # codebooks train on noised data (CLAUDE.md)
+        xr = jnp.matmul(x, r, precision=_HIGHEST)
         codebooks = train_pq(xr, m, ksub, iters=max(4, iters // 4),
                              seed=seed, sample=None, chunk=chunk,
                              init=codebooks)
@@ -541,7 +561,8 @@ def train_opq(x, m: int = 16, ksub: int = 256, *, iters: int = 25,
         # orthogonal Procrustes: argmin_R ||x R - rec||_F
         u, _, vt = jnp.linalg.svd(
             jnp.matmul(x.T, rec, precision=_HIGHEST), full_matrices=False)
-        r = u @ vt
-    codebooks = train_pq(x @ r, m, ksub, iters=iters, seed=seed,
-                         sample=None, chunk=chunk, init=codebooks)
+        r = jnp.matmul(u, vt, precision=_HIGHEST)
+    codebooks = train_pq(jnp.matmul(x, r, precision=_HIGHEST), m, ksub,
+                         iters=iters, seed=seed, sample=None, chunk=chunk,
+                         init=codebooks)
     return r, codebooks

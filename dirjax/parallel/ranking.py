@@ -259,7 +259,7 @@ def sharded_pq_topk(luts, codes_sharded, k: int, mesh: Mesh, n_valid: int,
                     [codes_local, jnp.zeros((pad, codes_local.shape[1]),
                                             codes_local.dtype)])
             v, i = _pq_topk_dense(luts_rep, codes_local, local_valid, kk,
-                                  codes_local.shape[0], dt_name)
+                                  dt_name)
         else:
             cchunk = max(_BLOCK, (min(chunk, rows) // _BLOCK) * _BLOCK)
             pad = (-rows) % cchunk

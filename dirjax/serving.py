@@ -31,6 +31,13 @@ from .ops.topk_pallas import quantize_db, rank_topk_fused
 __all__ = ["RetrievalIndex", "PQIndex", "IVFPQIndex"]
 
 
+def _rotate_rows(x, r):
+    """OPQ rotation at HIGHEST precision: default fp32 matmuls get
+    bf16-truncated on TPU (CLAUDE.md) and the noise lands directly in
+    the ADC lookup tables / stored codes."""
+    return jnp.matmul(x, r, precision=jax.lax.Precision.HIGHEST)
+
+
 class _Tombstones:
     """Deletion support shared by every index class.
 
@@ -473,7 +480,7 @@ class PQIndex(_Tombstones):
     def _encode(self, rows):
         rows = jnp.asarray(rows, jnp.float32)
         if self.rotation is not None:
-            rows = rows @ self.rotation
+            rows = _rotate_rows(rows, self.rotation)
         return encode_pq(rows, self.codebooks)
 
     # --- search ---------------------------------------------------------
@@ -521,7 +528,8 @@ class PQIndex(_Tombstones):
                                compute_dtype=self.compute_dtype)
 
     def _rotate(self, q):
-        return q if self.rotation is None else q @ self.rotation
+        return q if self.rotation is None \
+            else _rotate_rows(q, self.rotation)
 
     def _rerank(self, q, idxs, k: int):
         """Exact int8 rescore of the ADC candidate list. Gathering kf
@@ -548,7 +556,7 @@ class PQIndex(_Tombstones):
         nb = reconstruct_pq(nb_codes.reshape(-1, self.m),
                             self.codebooks).reshape(*idxs.shape, self.dim)
         if self.rotation is not None:     # reconstructions live rotated
-            nb = nb @ self.rotation.T
+            nb = _rotate_rows(nb, self.rotation.T)
         w = jnp.sign(vals) ** int(alpha) * jnp.power(jnp.abs(vals), alpha) \
             if float(alpha).is_integer() else jnp.power(vals, alpha)
         w = jnp.where(idxs >= 0, w, 0.0)
@@ -709,7 +717,8 @@ class IVFPQIndex(_Tombstones):
         else:
             self.rotation = None
         xr = descriptors if self.rotation is None \
-            else np.asarray(jnp.asarray(descriptors) @ self.rotation)
+            else np.asarray(_rotate_rows(jnp.asarray(descriptors),
+                                         self.rotation))
         self._ivf, self._centroids, self.codebooks = build_ivf(
             xr, nlist, m, ksub, slab=slab, cap=cap,
             pq_iters=train_iters, seed=seed, sample=sample)
@@ -722,7 +731,8 @@ class IVFPQIndex(_Tombstones):
     nlist = property(lambda self: int(self._centroids.shape[0]))
 
     def _rotate(self, q):
-        return q if self.rotation is None else q @ self.rotation
+        return q if self.rotation is None \
+            else _rotate_rows(q, self.rotation)
 
     # exact int8 shortlist rescore: identical contract to PQIndex's
     _rerank = PQIndex._rerank

@@ -144,6 +144,15 @@ def test_union_dedup_no_duplicate_results():
         assert len(set(real)) == len(real), row
 
 
+def test_ivf_assign_empty_batch():
+    import jax.numpy as jnp
+
+    from dirjax.ops.ivf import ivf_assign
+    cents = np.eye(4, dtype=np.float32)
+    out = ivf_assign(np.zeros((0, 4), np.float32), cents)
+    assert out.shape == (0,)
+
+
 def test_union_recall_superset_of_perquery():
     x, ivf, centroids, codebooks = _make(n=900, nlist=8, clustered=True,
                                          seed=45)

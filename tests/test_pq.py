@@ -168,6 +168,32 @@ class TestADC:
         assert nn_hit >= 0.6, nn_hit
 
 
+class TestReviewRegressions:
+    def test_encode_empty_batch(self, clustered):
+        db, _ = clustered
+        cb = train_pq(db, m=4, ksub=16, iters=3)
+        codes = encode_pq(np.zeros((0, db.shape[1]), np.float32), cb)
+        assert codes.shape == (0, 4) and codes.dtype == jnp.uint8
+
+    def test_unsafe_pallas_block_falls_back(self, clustered):
+        # block=48 -> tile//block=21 violates the Mosaic sublane rule;
+        # the hier path must take the XLA scan instead of tracing a
+        # kernel shape that has wedged the chip (and previously this
+        # combination failed at trace: 1024 % 48 != 0)
+        rng = np.random.default_rng(3)
+        db = rng.normal(size=(9000, 32)).astype(np.float32)
+        q = rng.normal(size=(4, 32)).astype(np.float32)
+        cb = train_pq(db, m=4, ksub=16, iters=3, sample=None)
+        codes = encode_pq(db, cb)
+        luts = pq_lookup(q, cb)
+        vals, idxs = pq_topk(luts, codes, k=5, chunk=4800, block=48,
+                             use_pallas=True)
+        dense = np.asarray(pq_scores(luts, codes))
+        picked = np.take_along_axis(dense, np.asarray(idxs), axis=1)
+        dv, _ = jax.lax.top_k(jnp.asarray(dense), 5)
+        np.testing.assert_allclose(picked, np.asarray(dv), atol=1e-5)
+
+
 class TestOPQ:
     def test_rotation_orthogonal_and_better(self, rng):
         # anisotropic data: energy front-loaded like whitened descriptors
