@@ -594,6 +594,10 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
         q = q.astype(db.dtype)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if quantized and tile_rows % 128:
+        # a quantized DB must never reach _fused (it has no scale inputs:
+        # unscaled int8 dots rank rows WRONG) — unaligned tiles go dense
+        use_pallas = False
     if not use_pallas or (quantized and db.shape[0] < tile_rows):
         # dense fallback (CPU path, or a small quantized DB where the
         # streaming kernel has nothing to stream)
@@ -605,10 +609,16 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
             dbf = db.astype(jnp.float32)
             if quantized:
                 dbf = dbf * scales.T
+            # both operands are fp32 casts here: HIGHEST or the TPU MXU
+            # silently truncates them back to bf16 (CLAUDE.md)
             scores = jnp.matmul(q.astype(jnp.float32), dbf.T,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
         return jax.lax.top_k(scores, k)
-    tile_rows = min(tile_rows, max(256, db.shape[0] // 256 * 256) or 256)
+    # _hierarchical asserts tile_rows <= 128*128: small-D databases can
+    # auto-derive past it (4 MiB / bytes_per_row), so clamp here
+    tile_rows = min(tile_rows, 128 * 128,
+                    max(256, db.shape[0] // 256 * 256) or 256)
     # the hierarchical path trades the in-kernel O(k*Nq*tile) selection loop
     # for O(Nq*tile/128) reduction work + a tiny recompute; the in-kernel
     # iterative selection wins for small k (no second pass at all)
@@ -616,4 +626,5 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
             (k > 16 or quantized):
         return _hierarchical(q, db, k, tile_rows,
                              scales if quantized else None, qscales)
-    return _fused(q, db, k, min(tile_rows, db.shape[0]), False)
+    return _fused(q, db, k, min(tile_rows, db.shape[0]),
+                  jax.default_backend() != "tpu")

@@ -27,8 +27,9 @@ __all__ = ["shard_database", "shard_database_quantized", "sharded_topk",
 
 def shard_database(db, mesh: Mesh, axis: str = "db"):
     """Place a (Nd, D) descriptor matrix row-sharded over ``axis``.
-    Pads Nd up to a multiple of the axis size (pad rows are all-zero, so
-    they can never win a top-k over L2-normalized descriptors)."""
+    Pads Nd up to a multiple of the axis size. Pad rows are all-zero but
+    a zero score still beats negative cosines — consumers MUST mask
+    columns >= n_valid to -inf (finish_local / _local_chunked_topk do)."""
     n = db.shape[0]
     size = mesh.shape[axis]
     pad = (-n) % size
@@ -206,8 +207,12 @@ def sharded_topk(q, db_sharded, k: int, mesh: Mesh, n_valid: int,
             return finish_local(scores, db_local.shape[0])
 
         vals, idxs = local_topk(q, db_sharded)          # (nq, ndev*k)
-    merged_vals, pos = jax.lax.top_k(vals, k)
+    merged_vals, pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
     merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
+    # k past the valid rows: pad columns carry -inf — surface them as the
+    # -1 sentinel (contract shared with sharded_pq_topk) instead of
+    # leaking out-of-range pad-row indices
+    merged_idxs = jnp.where(merged_vals > -jnp.inf, merged_idxs, -1)
     if qscales is not None:
         merged_vals = merged_vals * qscales
     return merged_vals, merged_idxs
@@ -299,6 +304,7 @@ def shard_ivf(ivf, mesh: Mesh, axis: str = "db"):
     ndev = mesh.shape[axis]
     tab = np.asarray(ivf.vlist_tab)
     cv = np.asarray(ivf.centroids_v)
+    adj = np.asarray(ivf.probe_adjust)
     cell = np.asarray(ivf.cell_of_v)
     codes = np.asarray(ivf.codes)
     rows = np.asarray(ivf.slab_rows)
@@ -323,7 +329,9 @@ def shard_ivf(ivf, mesh: Mesh, axis: str = "db"):
         for j, v in enumerate(g):
             sl = tab[v][tab[v] >= 0]
             s_cv[d, j] = cv[v]
-            s_adj[d, j] = -0.5 * np.dot(cv[v], cv[v])
+            # slice, don't recompute: if build_ivf's probe bias ever
+            # changes, the sharded probe must follow it
+            s_adj[d, j] = adj[v]
             s_tab[d, j, : len(sl)] = np.arange(si, si + len(sl))
             s_cell[d, j] = cell[v]
             s_codes[d, si: si + len(sl)] = codes[sl]
@@ -408,6 +416,9 @@ def sharded_aqe(q, db_sharded, mesh: Mesh, n_valid: int, alpha: float = 3.0,
     and re-normalized (semantics of reference test_dir.py:24-44). Supports
     an int8 database (pass ``db_scales``): only the k gathered neighbor
     rows per query are dequantized."""
+    from ..ops.normalize import l2_normalize
+    from ..ops.qe import _weights
+
     vals, idxs = sharded_topk(q, db_sharded, k, mesh, n_valid, axis,
                               db_scales=db_scales)
     neighbors = jnp.take(db_sharded, idxs, axis=0)   # gathers across shards
@@ -415,11 +426,10 @@ def sharded_aqe(q, db_sharded, mesh: Mesh, n_valid: int, alpha: float = 3.0,
         neighbors = neighbors.astype(jnp.float32) * \
             jnp.take(db_scales.reshape(-1), idxs)[:, :, None]
         q = jnp.asarray(q, jnp.float32)
-    if float(alpha).is_integer():
-        w = jnp.sign(vals) ** int(alpha) * jnp.power(jnp.abs(vals), alpha)
-    else:
-        w = jnp.power(vals, alpha)
-    expanded = (q + jnp.einsum("nk,nkd->nd", w, neighbors,
-                               preferred_element_type=jnp.float32)) / (k + 1.0)
-    norm = jnp.linalg.norm(expanded, axis=1, keepdims=True)
-    return expanded / jnp.maximum(norm, 1e-12)
+    # one weight/aggregate rule for every AQE path (ops/qe.py owns it)
+    expanded = (q + jnp.einsum("nk,nkd->nd", _weights(vals, alpha),
+                               neighbors.astype(jnp.float32),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)) \
+        / (k + 1.0)
+    return l2_normalize(expanded)

@@ -231,3 +231,44 @@ class TestRetrievalIndexInt8:
         # AQE path composes with the sharded int8 database too
         va, ia = idx_m.search(q, k=3, aqe={"k": 4, "alpha": 3.0})
         assert va.shape == (5, 3) and np.all((0 <= ia) & (ia < 67))
+
+
+class TestDispatcherRegressions:
+    """Review findings on rank_topk_fused's dispatch (round 3)."""
+
+    def test_int8_unaligned_tile_never_reaches_fused(self):
+        # tile_rows % 128 != 0 used to fall through to the scale-less
+        # _fused kernel -> silently unscaled (wrong) rankings
+        db = _normed(512, 64)
+        q = _normed(4, 64)
+        db8, scales = quantize_db(db)
+        vals, idxs = rank_topk_fused(q, db8, 5, db_scales=scales,
+                                     tile_rows=200, use_pallas=True)
+        deq = np.asarray(db8, np.float32) * np.asarray(scales).T
+        dense = np.asarray(q, np.float32) @ deq.T
+        got = np.take_along_axis(dense, np.asarray(idxs), axis=1)
+        assert np.allclose(np.asarray(vals), got, atol=2e-2)
+
+    def test_small_k_pallas_interprets_off_tpu(self):
+        # the small-k _fused path previously hardcoded interpret=False
+        # and crashed off-TPU while the k>16 path auto-interpreted
+        db = _normed(512, 64)
+        q = _normed(4, 64)
+        vals, idxs = rank_topk_fused(q, db, 5, use_pallas=True,
+                                     tile_rows=256)
+        want = np.argsort(-(np.asarray(q) @ np.asarray(db).T))[:, :5]
+        np.testing.assert_array_equal(np.asarray(idxs), want)
+
+    def test_small_dim_auto_tile_clamped(self):
+        # D=64 bf16 auto-derives tile_rows past _hierarchical's
+        # 128*128 bound; the dispatcher must clamp instead of asserting
+        db = _normed(33024, 64)
+        q = _normed(4, 64)
+        vals, idxs = rank_topk_fused(jnp.asarray(q, jnp.bfloat16),
+                                     jnp.asarray(db, jnp.bfloat16), 50,
+                                     use_pallas=True)
+        dense = np.asarray(q, np.float32) @ np.asarray(db, np.float32).T
+        order = np.argsort(-dense, axis=1)[:, :50]
+        overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 50
+                           for a, b in zip(np.asarray(idxs), order)])
+        assert overlap >= 0.9, overlap
