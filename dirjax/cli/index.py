@@ -61,6 +61,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "rescore the ADC shortlist at query time")
     b.add_argument("--out", required=True, help="output .npz index path")
 
+    a = sub.add_parser("add", parents=[common],
+                       help="append rows to an existing index (encoded "
+                            "with its existing quantizers/codebooks)")
+    a.add_argument("--index", required=True, help=".npz from `build`")
+    a.add_argument("--descs", required=True,
+                   help="(N, D) .npy descriptor matrix to append")
+    a.add_argument("--keys", default="",
+                   help="one key per line for the new rows "
+                        "(required for keyed indexes)")
+    a.add_argument("--out", default="",
+                   help="output path (default: rewrite --index in place)")
+
     r = sub.add_parser("remove", parents=[common],
                        help="delete rows from an index (tombstones; "
                             "--compact reclaims memory but renumbers)")
@@ -181,6 +193,22 @@ def main(argv=None):
                   f"-> {args.index}")
         return res
 
+    if args.cmd == "add":
+        index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch
+        descs = np.load(args.descs)
+        keys = None
+        if args.keys:
+            keys = [ln.split()[0] for ln in open(args.keys)
+                    if ln.strip()]
+            assert len(keys) == len(descs), \
+                f"{len(keys)} keys != {len(descs)} descriptors"
+        index.add(descs, keys=keys)
+        out = args.out or args.index
+        index.save(out)
+        print(f"added {len(descs)} rows -> {index.n} x {index.dim} "
+              f"-> {out}")
+        return index
+
     if args.cmd == "remove":
         if args.keys and args.indices is not None:
             raise SystemExit("remove: pass --keys OR --indices, not both")
@@ -213,10 +241,7 @@ def main(argv=None):
         if args.int8_queries:
             raise SystemExit("--int8-queries applies to int8 indexes; "
                              "this is an IVF-PQ index (ADC scoring)")
-        if aqe:
-            raise SystemExit("--aqe is not supported on IVF indexes yet "
-                             "(use a flat --pq index for compressed AQE)")
-        vals, idxs = index.search(q, k=args.topk,
+        vals, idxs = index.search(q, k=args.topk, aqe=aqe,
                                   nprobe=args.nprobe or None)
     elif isinstance(index, PQIndex):
         if args.int8_queries:

@@ -560,7 +560,9 @@ class PQIndex(_Tombstones):
         w = jnp.sign(vals) ** int(alpha) * jnp.power(jnp.abs(vals), alpha) \
             if float(alpha).is_integer() else jnp.power(vals, alpha)
         w = jnp.where(idxs >= 0, w, 0.0)
-        expanded = (q + jnp.einsum("nk,nkd->nd", w, nb)) / (k + 1.0)
+        expanded = (q + jnp.einsum("nk,nkd->nd", w, nb,
+                                   precision=jax.lax.Precision.HIGHEST)) \
+            / (k + 1.0)
         norm = jnp.linalg.norm(expanded, axis=1, keepdims=True)
         return expanded / jnp.maximum(norm, 1e-12)
 
@@ -685,6 +687,7 @@ class IVFPQIndex(_Tombstones):
 
     NQ_BUCKETS = RetrievalIndex.NQ_BUCKETS
     compute_dtype = None
+    _coding = None        # lazy unbin_ivf cache — see _row_coding()
 
     def __init__(self, descriptors, nlist: int, m: int = 32,
                  ksub: int = 16, *, nprobe: int = 8,
@@ -739,10 +742,17 @@ class IVFPQIndex(_Tombstones):
 
     # --- search ---------------------------------------------------------
     def search(self, queries, k: int = 10, *, nprobe: Optional[int] = None,
-               rerank_factor: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+               rerank_factor: int = 4, aqe: Optional[dict] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k (scores, indices) over the probed cells. ``nprobe``
         overrides the index default per call (recall knob); scores are
-        ``q . centroid + q . residual-reconstruction``."""
+        ``q . centroid + q . residual-reconstruction``.
+
+        ``aqe={'k':, 'alpha':}`` expands queries against IVF
+        RECONSTRUCTIONS (cell centroid + decoded residual) of their
+        probed neighbors — the same test_dir.py:24-44 semantics
+        :class:`PQIndex` applies in the compressed domain, probing the
+        same ``nprobe`` cells as the main search."""
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -754,19 +764,62 @@ class IVFPQIndex(_Tombstones):
             q = np.concatenate(
                 [q, np.zeros((bucket - nq, self.dim), np.float32)])
         q = jnp.asarray(q)
+        nprobe = nprobe or self.nprobe
+        if aqe:
+            q = self._expand_queries(q, k=aqe["k"], alpha=aqe["alpha"],
+                                     nprobe=nprobe)
         qr = self._rotate(q)
         luts = pq_lookup(qr, self.codebooks)
         pad = self._tomb_pad() if self.n_removed else 0
         k_eff = (max(k * rerank_factor, k)
                  if self._rerank_db is not None else k) + pad
         vals, idxs = ivf_topk(luts, qr, self._ivf, min(k_eff, self.n),
-                              nprobe=nprobe or self.nprobe,
+                              nprobe=nprobe,
                               compute_dtype=self.compute_dtype)
         if self._rerank_db is not None:
             vals, idxs = self._rerank(q, idxs, k + pad)
         if pad:
             vals, idxs = self._tomb_filter(vals, idxs, k)
         return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
+
+    def _row_coding(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-row (cell assignment, residual codes) in original row
+        order — the inverse of the slab binning, cached on the host
+        (same bytes as the codes themselves; built lazily on the first
+        AQE call, dropped whenever the inverted file is rebuilt)."""
+        if self._coding is None:
+            self._coding = unbin_ivf(self._ivf, self.n)
+        return self._coding
+
+    def _expand_queries(self, q, k: int, alpha: float, nprobe: int):
+        """AQE against IVF reconstructions: neighbor row i decodes to
+        ``centroid[assign[i]] + decode(codes[i])`` in rotated space —
+        exactly what the search scores rank by, so the top-k weights
+        (``vals**alpha``) and the expansion vectors agree. Like
+        :meth:`PQIndex._expand_queries`, tombstoned rows can still
+        influence the expansion until ``compact()`` (class docstring)."""
+        k = min(int(k), self.n)
+        qr = self._rotate(q)
+        vals, idxs = ivf_topk(pq_lookup(qr, self.codebooks), qr, self._ivf,
+                              k, nprobe=nprobe,
+                              compute_dtype=self.compute_dtype)
+        assign, codes = self._row_coding()
+        safe = np.maximum(np.asarray(idxs), 0)          # (nq, k) host
+        nb = reconstruct_pq(jnp.asarray(codes[safe.reshape(-1)]),
+                            self.codebooks)
+        nb = nb + jnp.take(jnp.asarray(self._centroids),
+                           jnp.asarray(assign[safe.reshape(-1)]), axis=0)
+        nb = nb.reshape(*safe.shape, self.dim)
+        if self.rotation is not None:   # reconstructions live rotated
+            nb = _rotate_rows(nb, self.rotation.T)
+        w = jnp.sign(vals) ** int(alpha) * jnp.power(jnp.abs(vals), alpha) \
+            if float(alpha).is_integer() else jnp.power(vals, alpha)
+        w = jnp.where(idxs >= 0, w, 0.0)
+        expanded = (q + jnp.einsum("nk,nkd->nd", w, nb,
+                                   precision=jax.lax.Precision.HIGHEST)) \
+            / (k + 1.0)
+        norm = jnp.linalg.norm(expanded, axis=1, keepdims=True)
+        return expanded / jnp.maximum(norm, 1e-12)
 
     def lookup(self, indices) -> list:
         assert self.keys is not None, "index was built without keys"
@@ -798,6 +851,7 @@ class IVFPQIndex(_Tombstones):
             self._rerank_scales = jnp.concatenate(
                 [self._rerank_scales, s8], axis=1)
         self._ivf = ivf
+        self._coding = None      # row order changed: drop the AQE cache
         if self.keys is not None:
             self.keys.extend(keys)
         self._tomb_extend(len(new))
@@ -810,6 +864,7 @@ class IVFPQIndex(_Tombstones):
                             np.asarray(self._centroids),
                             slab=self._ivf.slab,
                             cap=self._ivf.vlist_tab.shape[1])
+        self._coding = None      # rows renumbered: drop the AQE cache
         if self._rerank_db is not None:
             gather = jnp.asarray(keep_idx)
             self._rerank_db = jnp.take(self._rerank_db, gather, axis=0)

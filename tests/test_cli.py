@@ -237,6 +237,51 @@ class TestIndexCLI:
             main(["query", "--index", fp, "--descs", qp,
                   "--adc-bf16", "--gpu", "-1"])
 
+    def test_add_subcommand_grows_and_serves(self, tmp_path):
+        import numpy as np
+
+        from dirjax.cli.index import main
+
+        dp, qp, kp = self._descs(tmp_path)
+        ip = str(tmp_path / "grow.npz")
+        main(["build", "--descs", dp, "--keys", kp, "--out", ip,
+              "--gpu", "-1"])
+        rng = np.random.default_rng(7)
+        new = rng.standard_normal((3, 32)).astype(np.float32)
+        new /= np.linalg.norm(new, axis=1, keepdims=True)
+        npth = str(tmp_path / "new.npy")
+        np.save(npth, new)
+        nk = str(tmp_path / "newkeys.txt")
+        open(nk, "w").write("\n".join(f"new{i}.jpg" for i in range(3)))
+        idx = main(["add", "--index", ip, "--descs", npth, "--keys", nk,
+                    "--gpu", "-1"])
+        assert idx.n == 67 and idx.keys[-1] == "new2.jpg"
+        # the rewritten file serves the appended rows
+        nq = str(tmp_path / "newq.npy")
+        np.save(nq, new[:1])
+        out = main(["query", "--index", ip, "--descs", nq, "-k", "1",
+                    "--gpu", "-1"])
+        assert out["keys"][0][0] == "new0.jpg"
+
+    def test_add_subcommand_pq_out_path(self, tmp_path):
+        import numpy as np
+
+        from dirjax.cli.index import main
+
+        dp, qp, kp = self._descs(tmp_path)
+        ip = str(tmp_path / "pqgrow.npz")
+        main(["build", "--descs", dp, "--pq", "8", "--out", ip,
+              "--gpu", "-1"])
+        op = str(tmp_path / "pqgrown.npz")
+        idx = main(["add", "--index", ip, "--descs", qp, "--out", op,
+                    "--gpu", "-1"])
+        assert idx.n == 69
+        # --out leaves the source index untouched
+        import dirjax.serving as serving
+
+        assert serving.RetrievalIndex.load(ip).n == 64
+        assert serving.RetrievalIndex.load(op).n == 69
+
     def test_key_count_mismatch_asserts(self, tmp_path):
         import pytest
 

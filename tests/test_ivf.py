@@ -325,18 +325,77 @@ class TestIVFPQIndex:
         res = json.load(open(oj))
         assert [row[0] for row in res["indices"]] == [0, 1, 2, 3]
 
-    def test_cli_ivf_rejects_aqe(self, tmp_path):
+    def test_cli_ivf_aqe_query(self, tmp_path):
         from dirjax.cli.index import main
 
         x = self._data(n=200)
         dp = str(tmp_path / "g.dbdescs.npy")
+        qp = str(tmp_path / "g.qdescs.npy")
         np.save(dp, x)
+        np.save(qp, x[:4])
         ip = str(tmp_path / "g.npz")
-        main(["build", "--descs", dp, "--ivf", "4", "--out", ip,
-              "--gpu", "-1"])
-        with pytest.raises(SystemExit, match="aqe"):
-            main(["query", "--index", ip, "--descs", dp, "--aqe", "3", "2",
-                  "--gpu", "-1"])
+        main(["build", "--descs", dp, "--ivf", "4", "--pq", "4",
+              "--pq-ksub", "8", "--out", ip, "--gpu", "-1"])
+        out = main(["query", "--index", ip, "--descs", qp, "-k", "3",
+                    "--nprobe", "4", "--aqe", "4", "3", "--gpu", "-1"])
+        # expansion mixes the query with its reconstructed neighbors;
+        # the self-row (weight ~1 at alpha=3) must still rank first
+        assert [row[0] for row in out["indices"]] == [0, 1, 2, 3]
+
+    def test_aqe_matches_manual_expansion(self):
+        """search(aqe=...) == reconstruct-expand-renormalize done by hand
+        on the host, then searched plainly — pins the exact semantics
+        (IVF reconstructions as neighbors, vals**alpha weights, /(k+1),
+        L2 renorm), including the OPQ un-rotation of reconstructions."""
+        from dirjax.ops.ivf import ivf_topk, unbin_ivf
+        from dirjax.ops.pq import pq_lookup, reconstruct_pq
+
+        x = self._data()
+        idx = self._index(x, opq=True)
+        q = x[:4]
+        kq, alpha = 5, 3.0
+        full = idx._ivf.nvlist
+        va, ia = idx.search(q, k=4, nprobe=full,
+                            aqe={"k": kq, "alpha": alpha})
+
+        qr = np.asarray(idx._rotate(jnp.asarray(q)))
+        vals, nbrs = ivf_topk(pq_lookup(jnp.asarray(qr), idx.codebooks),
+                              jnp.asarray(qr), idx._ivf, kq, nprobe=full)
+        vals, nbrs = np.asarray(vals), np.asarray(nbrs)
+        assign, codes = unbin_ivf(idx._ivf, idx.n)
+        recon = np.asarray(reconstruct_pq(jnp.asarray(codes),
+                                          idx.codebooks))
+        recon = recon + np.asarray(idx._centroids)[assign]
+        nb = recon[nbrs] @ np.asarray(idx.rotation).T   # back to input space
+        w = np.sign(vals) ** int(alpha) * np.abs(vals) ** alpha
+        exp = (q + np.einsum("nk,nkd->nd", w, nb)) / (kq + 1.0)
+        exp /= np.linalg.norm(exp, axis=1, keepdims=True)
+        vm, im = idx.search(exp.astype(np.float32), k=4, nprobe=full)
+
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(im))
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vm),
+                                   atol=1e-4)
+
+    def test_aqe_never_returns_removed(self):
+        x = self._data(n=300)
+        idx = self._index(x)
+        idx.remove(indices=[0, 1, 2])
+        _, ids = idx.search(x[:5], k=4, nprobe=idx._ivf.nvlist,
+                            aqe={"k": 3, "alpha": 1.0})
+        assert not np.isin(np.asarray(ids), [0, 1, 2]).any()
+
+    def test_aqe_cache_invalidated_by_add(self):
+        x = self._data(n=400)
+        idx = self._index(x[:300])
+        # prime the unbin cache, then grow the index: the AQE path must
+        # reconstruct against the REBINNED rows, not the stale cache
+        idx.search(x[:2], k=2, aqe={"k": 2, "alpha": 1.0})
+        assert idx._coding is not None
+        idx.add(x[300:])
+        assert idx._coding is None
+        _, ids = idx.search(x[300:302], k=2, nprobe=idx._ivf.nvlist,
+                            aqe={"k": 3, "alpha": 3.0})
+        assert [row[0] for row in np.asarray(ids)] == [300, 301]
 
 
 class TestShardedIVF:
