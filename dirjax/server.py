@@ -1,0 +1,388 @@
+"""Dynamic-batching serving front-end for dirjax indexes.
+
+The reference toolbox stops at offline evaluation
+(/root/reference/dirtorch/test_dir.py — one process, one score matrix);
+production retrieval looks different: many concurrent clients each
+holding one or a few queries, while the TPU wants *large* batches —
+measured ranking QPS scales near-linearly with the query batch up to
+nq=256 (PERF_NOTES.md), and every distinct query count is a fresh XLA
+compile (hence ``RetrievalIndex.NQ_BUCKETS``).
+
+:class:`DynamicBatcher` closes that gap: concurrent ``search`` calls are
+coalesced into one ``index.search`` dispatch per *(k, options)*
+signature, released either when ``max_batch`` query rows are pending or
+when the oldest request has waited ``max_wait_ms`` — the classic
+throughput/latency knob of a serving system. A single dispatcher thread
+owns all device calls, so client threads never contend on the TPU
+dispatch path.
+
+:class:`IndexServer` / :class:`Client` put a process boundary around the
+batcher: a Unix-domain socket with a length-prefixed JSON+raw-float32
+protocol (no HTTP stack, no pickle), so extraction workers or RPC
+shims can share one resident index. ``python -m dirjax.serve`` is the
+CLI entry point.
+
+Works with every index family in :mod:`dirjax.serving` (flat bf16/int8,
+PQ, IVF-PQ): options (``aqe``, ``nprobe``, ``int8_queries``,
+``rerank_factor``, ...) pass through per request and batch only with
+identical signatures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["DynamicBatcher", "IndexServer", "Client"]
+
+
+def _freeze(v):
+    """Hashable canonical form of a request option value."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+class DynamicBatcher:
+    """Coalesce concurrent search requests into large device batches.
+
+    Parameters
+    ----------
+    index:
+        anything with ``search(queries, k=..., **opts) -> (vals, idxs)``
+        over ``(nq, dim)`` query matrices (all :mod:`dirjax.serving`
+        index classes qualify).
+    max_batch:
+        dispatch as soon as this many query *rows* are pending for one
+        signature. Match it to the largest ``NQ_BUCKETS`` entry the
+        index was warmed for (256 is the measured QPS sweet spot).
+    max_wait_ms:
+        latency bound — the oldest pending request never waits longer
+        than this for co-travellers before dispatch.
+    """
+
+    def __init__(self, index, max_batch: int = 256,
+                 max_wait_ms: float = 2.0):
+        assert max_batch >= 1 and max_wait_ms >= 0.0
+        self.index = index
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1e3
+        self._lock = threading.Lock()
+        #: signature -> list of (queries, nrows, Future, t0, k, opts)
+        self._queues: Dict[Any, list] = {}
+        self._event = threading.Event()
+        self._stopping = False
+        self.stats = {"requests": 0, "rows": 0, "batches": 0,
+                      "batched_rows": 0}
+        self._thread = threading.Thread(
+            target=self._loop, name="dirjax-batcher", daemon=True)
+        self._thread.start()
+
+    # --- client API ------------------------------------------------------
+
+    def submit(self, queries, k: int = 10, **opts) -> Future:
+        """Enqueue a request; the Future resolves to this request's own
+        ``(vals, idxs)`` slice of the coalesced batch."""
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        assert q.ndim == 2, f"queries must be (nq, dim), got {q.shape}"
+        dim = getattr(self.index, "dim", q.shape[1])
+        if q.shape[1] != dim:
+            raise ValueError(
+                f"query dim {q.shape[1]} != index dim {dim}")
+        fut: Future = Future()
+        sig = (int(k), _freeze(opts))
+        with self._lock:
+            if self._stopping:
+                raise RuntimeError("batcher is closed")
+            self._queues.setdefault(sig, []).append(
+                (q, len(q), fut, time.monotonic(), int(k), opts))
+            self.stats["requests"] += 1
+            self.stats["rows"] += len(q)
+        self._event.set()
+        return fut
+
+    def search(self, queries, k: int = 10, **opts
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(queries, k=k, **opts).result()
+
+    def close(self) -> None:
+        """Flush every pending request, then stop the dispatcher."""
+        with self._lock:
+            self._stopping = True
+        self._event.set()
+        self._thread.join()
+
+    # --- dispatcher ------------------------------------------------------
+
+    def _take_ready(self, drain: bool):
+        """Pop (sig, requests) batches that are due; return them plus the
+        next deadline among the queues left pending."""
+        now = time.monotonic()
+        ready, deadline = [], None
+        with self._lock:
+            for sig in list(self._queues):
+                reqs = self._queues[sig]
+                rows = sum(r[1] for r in reqs)
+                due = drain or rows >= self.max_batch \
+                    or now - reqs[0][3] >= self.max_wait
+                if not due:
+                    deadline = (reqs[0][3] + self.max_wait if deadline
+                                is None else min(deadline,
+                                                 reqs[0][3] + self.max_wait))
+                    continue
+                take, taken_rows = [], 0
+                while reqs and (taken_rows < self.max_batch or not take):
+                    take.append(reqs.pop(0))
+                    taken_rows += take[-1][1]
+                ready.append((sig, take))
+                if reqs:   # leftovers: due again immediately
+                    deadline = now
+                else:
+                    del self._queues[sig]
+        return ready, deadline
+
+    def _dispatch(self, requests) -> None:
+        qs = np.concatenate([r[0] for r in requests])
+        k, opts = requests[0][4], requests[0][5]
+        try:
+            vals, idxs = self.index.search(qs, k=k, **opts)
+        except Exception as exc:  # propagate to every caller in the batch
+            for _, _, fut, _, _, _ in requests:
+                fut.set_exception(exc)
+            return
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        off = 0
+        for _, n, fut, _, _, _ in requests:
+            fut.set_result((vals[off:off + n], idxs[off:off + n]))
+            off += n
+        self.stats["batches"] += 1
+        self.stats["batched_rows"] += off
+
+    def _loop(self) -> None:
+        while True:
+            drain = self._stopping
+            ready, deadline = self._take_ready(drain)
+            for _, requests in ready:
+                self._dispatch(requests)
+            if drain and not ready:
+                return
+            if ready:            # more work may already be due
+                continue
+            timeout = None if deadline is None \
+                else max(0.0, deadline - time.monotonic())
+            self._event.wait(timeout)
+            self._event.clear()
+
+
+# --- wire protocol --------------------------------------------------------
+# frame := uint32_be(len(meta_json)) + meta_json + payload bytes
+# request meta:  {"k", "shape": [n, d], "keys": bool, "opts": {...}}
+#                payload = float32 queries (n*d*4 bytes)
+#                {"cmd": "shutdown"} stops the server.
+# response meta: {"shape": [n, k], "keys": [[...]]|null} or {"error": str}
+#                payload = float32 scores + int32 indices
+
+
+def _send_frame(sock: socket.socket, meta: dict, payload: bytes = b"") -> None:
+    mb = json.dumps(meta).encode()
+    sock.sendall(struct.pack("!I", len(mb)) + mb + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-frame"
+                                  if buf else "peer closed")
+        buf += chunk
+    return bytes(buf)
+
+
+def _recv_frame(sock: socket.socket, nbytes=lambda meta: 0):
+    (mlen,) = struct.unpack("!I", _recv_exact(sock, 4))
+    meta = json.loads(_recv_exact(sock, mlen))
+    return meta, _recv_exact(sock, nbytes(meta))
+
+
+def _payload_len(meta: dict) -> int:
+    if "shape" not in meta:
+        return 0
+    n, d = meta["shape"]
+    if "k" in meta:                       # request: float32 queries
+        return n * d * 4
+    return n * d * 4 + n * d * 4          # response: f32 scores + i32 idxs
+
+
+class IndexServer:
+    """Unix-domain-socket front of a :class:`DynamicBatcher`.
+
+    One thread per connection; all of them feed the single batcher, so
+    concurrent clients are what *creates* the large device batches.
+    """
+
+    def __init__(self, index, socket_path: str, max_batch: int = 256,
+                 max_wait_ms: float = 2.0):
+        self.batcher = DynamicBatcher(index, max_batch=max_batch,
+                                      max_wait_ms=max_wait_ms)
+        self.socket_path = socket_path
+        if os.path.exists(socket_path):
+            os.unlink(socket_path)
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.bind(socket_path)
+        self._sock.listen(64)
+        self._shutdown = threading.Event()
+
+    def serve_forever(self) -> None:
+        """Accept loop; returns after a client sends ``shutdown``."""
+        self._sock.settimeout(0.2)
+        conns = []
+        while not self._shutdown.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            t = threading.Thread(target=self._handle, args=(conn,),
+                                 daemon=True)
+            t.start()
+            conns.append(t)
+        self._sock.close()
+        for t in conns:
+            t.join(timeout=2.0)
+        self.batcher.close()
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+
+    def _handle(self, conn: socket.socket) -> None:
+        with conn:
+            while not self._shutdown.is_set():
+                try:
+                    meta, payload = _recv_frame(conn, _payload_len)
+                except (ConnectionError, struct.error):
+                    return
+                if meta.get("cmd") == "shutdown":
+                    _send_frame(conn, {"ok": True})
+                    self._shutdown.set()
+                    return
+                try:
+                    n, d = meta["shape"]
+                    q = np.frombuffer(payload, np.float32).reshape(n, d)
+                    vals, idxs = self.batcher.search(
+                        q, k=meta.get("k", 10), **meta.get("opts", {}))
+                except Exception as exc:
+                    _send_frame(conn, {"error": f"{type(exc).__name__}: "
+                                                f"{exc}"})
+                    continue
+                keys = None
+                if meta.get("keys"):
+                    try:
+                        keys = self.batcher.index.lookup(idxs)
+                    except Exception as exc:
+                        _send_frame(conn, {"error": str(exc)})
+                        continue
+                _send_frame(
+                    conn, {"shape": list(vals.shape), "keys": keys},
+                    np.ascontiguousarray(vals, np.float32).tobytes()
+                    + np.ascontiguousarray(idxs, np.int32).tobytes())
+
+
+class Client:
+    """Blocking client for :class:`IndexServer` (one socket, reusable)."""
+
+    def __init__(self, socket_path: str, connect_timeout: float = 10.0):
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        t0 = time.monotonic()
+        while True:   # the server may still be binding
+            try:
+                self._sock.connect(socket_path)
+                break
+            except (FileNotFoundError, ConnectionRefusedError):
+                if time.monotonic() - t0 > connect_timeout:
+                    raise
+                time.sleep(0.02)
+
+    def search(self, queries, k: int = 10, keys: bool = False,
+               **opts):
+        """(vals, idxs) — plus the key lists if ``keys=True``."""
+        q = np.ascontiguousarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None, :]
+        meta = {"k": int(k), "shape": list(q.shape), "keys": bool(keys),
+                "opts": opts}
+        _send_frame(self._sock, meta, q.tobytes())
+        rmeta, payload = _recv_frame(self._sock, _payload_len)
+        if "error" in rmeta:
+            raise RuntimeError(f"server error: {rmeta['error']}")
+        n, kk = rmeta["shape"]
+        vals = np.frombuffer(payload[:n * kk * 4], np.float32
+                             ).reshape(n, kk)
+        idxs = np.frombuffer(payload[n * kk * 4:], np.int32
+                             ).reshape(n, kk)
+        if keys:
+            return vals, idxs, rmeta["keys"]
+        return vals, idxs
+
+    def shutdown_server(self) -> None:
+        _send_frame(self._sock, {"cmd": "shutdown"})
+        _recv_frame(self._sock, _payload_len)
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def main(argv: Optional[list] = None):
+    """``python -m dirjax.serve`` — serve an index over a Unix socket."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Serve a dirjax index with dynamic batching")
+    parser.add_argument("--index", required=True,
+                        help=".npz from `python -m dirjax.index build`")
+    parser.add_argument("--socket", required=True,
+                        help="Unix-domain socket path to listen on")
+    parser.add_argument("--max-batch", type=int, default=256,
+                        help="dispatch at this many pending query rows")
+    parser.add_argument("--max-wait-ms", type=float, default=2.0,
+                        help="max time the oldest request waits for "
+                             "co-travellers")
+    parser.add_argument("--gpu", type=int, default=0, nargs="+",
+                        help="-1 forces CPU")
+    args = parser.parse_args(argv)
+
+    from .cli.common import setup_device
+    setup_device(args.gpu)
+    from .serving import RetrievalIndex
+
+    index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch
+    server = IndexServer(index, args.socket, max_batch=args.max_batch,
+                         max_wait_ms=args.max_wait_ms)
+    print(f"serving {type(index).__name__} ({index.n} x {index.dim}) "
+          f"on {args.socket} (max_batch={args.max_batch}, "
+          f"max_wait={args.max_wait_ms} ms)")
+    server.serve_forever()
+    s = server.batcher.stats
+    mean = s["batched_rows"] / max(1, s["batches"])
+    print(f"served {s['requests']} requests ({s['rows']} query rows) in "
+          f"{s['batches']} batches (mean batch {mean:.1f})")
+    return server

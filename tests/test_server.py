@@ -1,0 +1,184 @@
+"""Dynamic-batching serving front-end (dirjax/server.py).
+
+All on the CPU harness: the batcher/server are pure host code around
+``index.search``, so correctness here transfers to the TPU unchanged."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from dirjax.server import Client, DynamicBatcher, IndexServer
+from dirjax.serving import RetrievalIndex
+
+
+def _index(n=64, d=32, seed=0, keys=False):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ks = [f"img{i}.jpg" for i in range(n)] if keys else None
+    return RetrievalIndex(x, keys=ks), x
+
+
+class TestDynamicBatcher:
+    def test_matches_direct_search_under_concurrency(self):
+        index, x = _index()
+        batcher = DynamicBatcher(index, max_batch=64, max_wait_ms=80.0)
+        rng = np.random.default_rng(1)
+        reqs = [x[rng.integers(0, len(x), size=rng.integers(1, 4))]
+                for _ in range(16)]
+        futs = [None] * len(reqs)
+        barrier = threading.Barrier(len(reqs))
+
+        def fire(i):
+            barrier.wait()
+            futs[i] = batcher.submit(reqs[i], k=5)
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, q in enumerate(reqs):
+            vals, idxs = futs[i].result(timeout=60)
+            ev, ei = index.search(q, k=5)
+            np.testing.assert_array_equal(idxs, ei)
+            np.testing.assert_allclose(vals, ev, atol=1e-5)
+        # the whole point: concurrent requests shared device dispatches
+        assert batcher.stats["batches"] < batcher.stats["requests"]
+        assert batcher.stats["batched_rows"] == batcher.stats["rows"]
+        batcher.close()
+
+    def test_signatures_batch_separately(self):
+        index, x = _index()
+        batcher = DynamicBatcher(index, max_batch=8, max_wait_ms=40.0)
+        f1 = batcher.submit(x[:2], k=3)
+        f2 = batcher.submit(x[2:4], k=7)
+        f3 = batcher.submit(x[4:5], k=3, aqe={"k": 2, "alpha": 1.0})
+        assert f1.result(timeout=60)[0].shape == (2, 3)
+        assert f2.result(timeout=60)[0].shape == (2, 7)
+        assert f3.result(timeout=60)[0].shape == (1, 3)
+        # k=3 plain, k=7 plain, k=3+aqe: three distinct dispatches
+        assert batcher.stats["batches"] == 3
+        batcher.close()
+
+    def test_oversized_request_and_max_batch_split(self):
+        index, x = _index()
+        batcher = DynamicBatcher(index, max_batch=4, max_wait_ms=0.0)
+        vals, idxs = batcher.search(x[:10], k=4)   # 10 rows > max_batch
+        ev, ei = index.search(x[:10], k=4)
+        np.testing.assert_array_equal(idxs, ei)
+        batcher.close()
+
+    def test_search_error_propagates_to_caller(self):
+        index, _ = _index()
+        batcher = DynamicBatcher(index, max_batch=8, max_wait_ms=0.0)
+        with pytest.raises(ValueError, match="dim"):
+            batcher.submit(np.zeros((1, 7), np.float32))
+        fut = batcher.submit(np.zeros((1, index.dim), np.float32),
+                             k=index.n + 5)   # k > n: index.search raises
+        with pytest.raises(Exception):
+            fut.result(timeout=60)
+        batcher.close()
+
+    def test_close_flushes_pending(self):
+        index, x = _index()
+        batcher = DynamicBatcher(index, max_batch=1024,
+                                 max_wait_ms=10_000.0)
+        fut = batcher.submit(x[:3], k=2)   # would wait 10 s for friends
+        batcher.close()                    # must flush, not abandon
+        vals, idxs = fut.result(timeout=1)
+        assert vals.shape == (3, 2)
+        with pytest.raises(RuntimeError, match="closed"):
+            batcher.submit(x[:1])
+
+
+class TestIndexServer:
+    def _serve(self, index, tmp_path, **kw):
+        path = str(tmp_path / "dirjax.sock")
+        server = IndexServer(index, path, **kw)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server, t, path
+
+    def test_roundtrip_with_keys(self, tmp_path):
+        index, x = _index(keys=True)
+        server, t, path = self._serve(index, tmp_path, max_wait_ms=1.0)
+        with Client(path) as c:
+            vals, idxs, keys = c.search(x[:3], k=4, keys=True)
+            ev, ei = index.search(x[:3], k=4)
+            np.testing.assert_array_equal(idxs, ei)
+            np.testing.assert_allclose(vals, ev, atol=1e-5)
+            assert keys == index.lookup(ei)
+            # single-vector convenience + option passthrough
+            va, ia = c.search(x[0], k=2, aqe={"k": 2, "alpha": 1.0})
+            ea, eia = index.search(x[:1], k=2, aqe={"k": 2, "alpha": 1.0})
+            np.testing.assert_array_equal(ia, eia)
+            c.shutdown_server()
+        t.join(timeout=10)
+        assert not t.is_alive()
+
+    def test_concurrent_clients_coalesce(self, tmp_path):
+        index, x = _index()
+        server, t, path = self._serve(index, tmp_path, max_batch=64,
+                                      max_wait_ms=80.0)
+        results = {}
+        barrier = threading.Barrier(8)
+
+        def worker(i):
+            with Client(path) as c:
+                barrier.wait()
+                results[i] = c.search(x[i:i + 2], k=3)
+
+        ws = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for w in ws:
+            w.start()
+        for w in ws:
+            w.join()
+        for i in range(8):
+            _, idxs = results[i]
+            np.testing.assert_array_equal(idxs,
+                                          index.search(x[i:i + 2], k=3)[1])
+        assert server.batcher.stats["batches"] \
+            < server.batcher.stats["requests"]
+        with Client(path) as c:
+            c.shutdown_server()
+        t.join(timeout=10)
+
+    def test_server_error_reply_keeps_connection(self, tmp_path):
+        index, x = _index()   # no keys
+        server, t, path = self._serve(index, tmp_path, max_wait_ms=1.0)
+        with Client(path) as c:
+            with pytest.raises(RuntimeError, match="server error"):
+                c.search(x[:1], k=2, keys=True)   # keyless index
+            vals, idxs = c.search(x[:1], k=2)     # still serviceable
+            assert vals.shape == (1, 2)
+            c.shutdown_server()
+        t.join(timeout=10)
+
+    def test_cli_main_serves_ivf_index(self, tmp_path):
+        from dirjax.cli.index import main as index_main
+        from dirjax.server import main as serve_main
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((200, 32)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        dp = str(tmp_path / "db.npy")
+        np.save(dp, x)
+        ip = str(tmp_path / "ivf.npz")
+        index_main(["build", "--descs", dp, "--ivf", "4", "--pq", "4",
+                    "--pq-ksub", "8", "--out", ip, "--gpu", "-1"])
+        path = str(tmp_path / "srv.sock")
+        t = threading.Thread(
+            target=serve_main,
+            args=(["--index", ip, "--socket", path, "--max-wait-ms", "1",
+                   "--gpu", "-1"],),
+            daemon=True)
+        t.start()
+        with Client(path) as c:
+            _, idxs = c.search(x[:4], k=3, nprobe=4)
+            assert idxs[0, 0] == 0   # self-match first
+            c.shutdown_server()
+        t.join(timeout=30)
+        assert not t.is_alive()
