@@ -66,7 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--delete-fc", action="store_true",
                         help="drop the checkpoint's FC (new out_dim)")
     parser.add_argument("--resume", type=str, default="",
-                        help="resume from a previous fit's checkpoint.npz")
+                        help="resume from a previous fit's checkpoint.npz "
+                             "(or an orbax checkpoint directory)")
+    parser.add_argument("--ckpt-format", type=str, default="npz",
+                        choices=("npz", "orbax"),
+                        help="npz: host-gathered interop checkpoints; "
+                             "orbax: sharded async checkpoints under "
+                             "OUT_DIR/orbax (the multi-chip path)")
     parser.add_argument("--out-dir", type=str, required=True)
     parser.add_argument("--threads", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
@@ -139,7 +145,8 @@ def main(argv=None):
         dataset, cfg, val_dataset=val_dataset, params=params,
         out_dir=args.out_dir, dtype=dtype, resume=args.resume or None,
         steps_per_epoch=args.steps_per_epoch, progress=True,
-        eval_dataset=eval_dataset, eval_trfs=args.eval_trfs, mesh=mesh)
+        eval_dataset=eval_dataset, eval_trfs=args.eval_trfs, mesh=mesh,
+        ckpt_format=args.ckpt_format)
     for h in history:
         line = f"epoch {h['epoch']}: loss {h['loss']:.4f}"
         if "val_loss" in h:

@@ -66,6 +66,15 @@ class _Tombstones:
     def n_removed(self) -> int:
         return self._n_removed
 
+    def lookup(self, indices) -> list:
+        """Map result indices back to image keys. ``-1`` sentinels (the
+        padding :meth:`_tomb_filter` emits when fewer than ``k`` live
+        rows survive the candidate set) map to ``None``, never to a real
+        key."""
+        assert self.keys is not None, "index was built without keys"
+        return [[None if j < 0 else self.keys[j] for j in row]
+                for row in np.asarray(indices)]
+
     def remove(self, keys: Optional[Sequence[str]] = None,
                indices=None) -> int:
         """Tombstone rows by key (keyed indexes) or by row index. Returns
@@ -264,11 +273,6 @@ class RetrievalIndex(_Tombstones):
             quantize_queries=(self._scales is not None
                               and getattr(self, "_int8_queries", False)))
         return np.asarray(vals), np.asarray(idxs)
-
-    def lookup(self, indices) -> list:
-        """Map result indices back to image keys."""
-        assert self.keys is not None, "index was built without keys"
-        return [[self.keys[j] for j in row] for row in np.asarray(indices)]
 
     def add(self, descriptors, keys: Optional[Sequence[str]] = None) -> None:
         """Append rows to the index (keys too if the index carries keys).
@@ -566,10 +570,6 @@ class PQIndex(_Tombstones):
         norm = jnp.linalg.norm(expanded, axis=1, keepdims=True)
         return expanded / jnp.maximum(norm, 1e-12)
 
-    def lookup(self, indices) -> list:
-        assert self.keys is not None, "index was built without keys"
-        return [[self.keys[j] for j in row] for row in np.asarray(indices)]
-
     def add(self, descriptors, keys: Optional[Sequence[str]] = None) -> None:
         """Encode new rows with the EXISTING codebooks and append. Like
         :meth:`RetrievalIndex.add`, growth changes shapes (recompile per
@@ -820,10 +820,6 @@ class IVFPQIndex(_Tombstones):
             / (k + 1.0)
         norm = jnp.linalg.norm(expanded, axis=1, keepdims=True)
         return expanded / jnp.maximum(norm, 1e-12)
-
-    def lookup(self, indices) -> list:
-        assert self.keys is not None, "index was built without keys"
-        return [[self.keys[j] for j in row] for row in np.asarray(indices)]
 
     def add(self, descriptors, keys: Optional[Sequence[str]] = None) -> None:
         """Assign + encode the new rows against the EXISTING coarse

@@ -436,7 +436,7 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
         out_dir: Optional[str] = None, dtype=jnp.float32,
         steps_per_epoch: Optional[int] = None, progress: bool = False,
         resume: Optional[str] = None, eval_dataset=None, eval_trfs: str = "",
-        mesh=None):
+        mesh=None, ckpt_format: str = "npz"):
     """Fine-tune on a labeled dataset; returns (model, params, history).
 
     ``resume``: path to a checkpoint.npz written by a previous fit — params,
@@ -452,14 +452,28 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
     rows DP-sharded over "data", the FC projection TP-sharded over "db",
     GSPMD inserting the ICI collectives (the multi-chip replacement for
     the reference's ``nn.DataParallel``, common.py:150-175). Ragged
-    batches are truncated to a multiple of the "data" axis size."""
+    batches are truncated to a multiple of the "data" axis size.
+
+    ``ckpt_format``: ``"npz"`` (default — the interop format, gathered to
+    host each epoch) or ``"orbax"`` — sharded async checkpoints under
+    ``out_dir/orbax`` (:mod:`dirjax.utils.orbax_ckpt`): the write
+    overlaps the next epoch and sharded params/opt-state never gather.
+    ``resume`` accepts either a ``checkpoint.npz`` path or an orbax
+    checkpoint *directory* (auto-detected)."""
+    from .utils.orbax_ckpt import TrainCheckpointer, is_orbax_dir
+
+    assert ckpt_format in ("npz", "orbax"), ckpt_format
     model = create_model(cfg.arch, out_dim=cfg.out_dim)
     if params is None:
         params = model.init(jax.random.PRNGKey(cfg.seed))
 
     start_epoch = 0
     opt_path = None
+    orbax_resume = None
     best = float("inf")
+    if resume and is_orbax_dir(resume):
+        orbax_resume = resume        # restored after tx.init (needs the
+        resume = None                # opt-state template)
     if resume:
         ckpt = load_native(resume)
         assert ckpt.model.arch == cfg.arch, \
@@ -487,6 +501,14 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
     opt_state = tx.init(params)
     if opt_path and os.path.exists(opt_path):
         opt_state = _load_opt_state(opt_path, opt_state)
+    if orbax_resume:
+        with TrainCheckpointer(orbax_resume) as ck:
+            rex = ck.read_extra()
+            assert rex.get("arch", cfg.arch) == cfg.arch, \
+                f"resume arch {rex.get('arch')} != config arch {cfg.arch}"
+            params, opt_state, _ = ck.restore(params, opt_state)
+        start_epoch = int(rex.get("epoch", -1)) + 1
+        best = float(rex.get("best", float("inf")))
     shard_args = None
     if mesh is not None:
         step, shard_args = make_sharded_train_step(model, cfg, tx, mesh,
@@ -500,6 +522,7 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
         step = make_train_step(model, cfg, tx, dtype=dtype)
 
     history = []
+    orbax_ckptr = None
     for epoch in range(start_epoch, cfg.epochs):
         order = list(iter(sampler))
         if cfg.crops_per_image > 1:
@@ -558,14 +581,25 @@ def fit(dataset, cfg: TrainConfig, *, val_dataset=None, params=None,
         is_best = monitor < best
         best = min(best, monitor)
         if out_dir:
-            path = os.path.join(out_dir, "checkpoint.npz")
             extra = {"epoch": epoch}
             if np.isfinite(best):
                 extra["best"] = float(best)
-            ckpt = Checkpoint(model=model, params=params,
-                              preprocess=model.preprocess, extra=extra)
-            save_checkpoint(ckpt, is_best, path)
-            _save_opt_state(path + ".opt", opt_state)
+            if ckpt_format == "orbax":
+                if orbax_ckptr is None:
+                    orbax_ckptr = TrainCheckpointer(
+                        os.path.join(out_dir, "orbax"))
+                orbax_ckptr.save(epoch, params, opt_state,
+                                 extra={**extra, "arch": cfg.arch,
+                                        "monitor": float(monitor)})
+            else:
+                path = os.path.join(out_dir, "checkpoint.npz")
+                ckpt = Checkpoint(model=model, params=params,
+                                  preprocess=model.preprocess, extra=extra)
+                save_checkpoint(ckpt, is_best, path)
+                _save_opt_state(path + ".opt", opt_state)
+    if orbax_ckptr is not None:
+        orbax_ckptr.wait()
+        orbax_ckptr.close()
     return model, params, history
 
 

@@ -143,6 +143,21 @@ class TestRetrievalIndexRemove:
         with pytest.raises(ValueError, match="exceeds"):
             index.search(q, k=len(db) + 1)
 
+    def test_lookup_sentinel_maps_to_none(self, corpus):
+        # when fewer than k live rows survive, idxs pad with -1; lookup
+        # must return None there, never keys[-1] (the last image)
+        db, q = corpus
+        keys = [f"img{i}" for i in range(len(db))]
+        index = RetrievalIndex(db, keys=keys)
+        index.remove(indices=np.arange(len(db) - 3))     # 3 live rows
+        vals, idxs = index.search(q, k=8)
+        assert (idxs[:, 3:] == -1).all() and (idxs[:, :3] >= 0).all()
+        names = index.lookup(idxs)
+        for row, irow in zip(names, idxs):
+            assert row[3:] == [None] * 5
+            assert row[:3] == [f"img{j}" for j in irow[:3]]
+            assert keys[-1] not in row[3:]
+
     def test_cli_remove_rejects_both_selectors(self, corpus, tmp_path):
         import numpy as np
 
