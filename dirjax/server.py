@@ -17,10 +17,10 @@ owns all device calls, so client threads never contend on the TPU
 dispatch path.
 
 :class:`IndexServer` / :class:`Client` put a process boundary around the
-batcher: a Unix-domain socket with a length-prefixed JSON+raw-float32
-protocol (no HTTP stack, no pickle), so extraction workers or RPC
-shims can share one resident index. ``python -m dirjax.serve`` is the
-CLI entry point.
+batcher: a Unix-domain socket (or TCP — pass ``host:port``) with a
+length-prefixed JSON+raw-float32 protocol (no HTTP stack, no pickle),
+so extraction workers, RPC shims, or remote hosts can share one
+resident index. ``python -m dirjax.serve`` is the CLI entry point.
 
 Works with every index family in :mod:`dirjax.serving` (flat bf16/int8,
 PQ, IVF-PQ): options (``aqe``, ``nprobe``, ``int8_queries``,
@@ -36,12 +36,23 @@ import socket
 import struct
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
 __all__ = ["DynamicBatcher", "IndexServer", "Client"]
+
+
+def _parse_addr(addr: str):
+    """``host:port`` -> ``(AF_INET, (host, port))``; anything else is a
+    Unix-domain socket path. A bare ``:port`` listens on all interfaces;
+    paths containing ``/`` are always treated as UDS."""
+    host, sep, port = addr.rpartition(":")
+    if sep and port.isdigit() and "/" not in addr:
+        return socket.AF_INET, (host or "0.0.0.0", int(port))
+    return socket.AF_UNIX, addr
 
 
 def _freeze(v):
@@ -84,6 +95,8 @@ class DynamicBatcher:
         self._stopping = False
         self.stats = {"requests": 0, "rows": 0, "batches": 0,
                       "batched_rows": 0}
+        # submit->result latency of the most recent requests (ms)
+        self._latencies = deque(maxlen=10_000)
         self._thread = threading.Thread(
             target=self._loop, name="dirjax-batcher", daemon=True)
         self._thread.start()
@@ -164,12 +177,25 @@ class DynamicBatcher:
                 fut.set_exception(exc)
             return
         vals, idxs = np.asarray(vals), np.asarray(idxs)
-        off = 0
-        for _, n, fut, _, _, _ in requests:
+        done, off = time.monotonic(), 0
+        for _, n, fut, t0, _, _ in requests:
             fut.set_result((vals[off:off + n], idxs[off:off + n]))
+            self._latencies.append((done - t0) * 1e3)
             off += n
         self.stats["batches"] += 1
         self.stats["batched_rows"] += off
+
+    def latency_stats(self) -> Dict[str, float]:
+        """Submit->result latency percentiles (ms) over the most recent
+        requests (10k-deep window). Empty dict before the first result."""
+        if not self._latencies:
+            return {}
+        lat = np.asarray(self._latencies)
+        return {"p50_ms": float(np.percentile(lat, 50)),
+                "p90_ms": float(np.percentile(lat, 90)),
+                "p99_ms": float(np.percentile(lat, 99)),
+                "mean_ms": float(lat.mean()),
+                "max_ms": float(lat.max())}
 
     def _loop(self) -> None:
         while True:
@@ -228,7 +254,9 @@ def _payload_len(meta: dict) -> int:
 
 
 class IndexServer:
-    """Unix-domain-socket front of a :class:`DynamicBatcher`.
+    """Socket front of a :class:`DynamicBatcher` — a Unix-socket path or
+    a ``host:port`` TCP address (``:port`` alone binds all interfaces;
+    port 0 lets the kernel pick — read ``server.address``).
 
     One thread per connection; all of them feed the single batcher, so
     concurrent clients are what *creates* the large device batches.
@@ -238,11 +266,20 @@ class IndexServer:
                  max_wait_ms: float = 2.0):
         self.batcher = DynamicBatcher(index, max_batch=max_batch,
                                       max_wait_ms=max_wait_ms)
-        self.socket_path = socket_path
-        if os.path.exists(socket_path):
-            os.unlink(socket_path)
-        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self._sock.bind(socket_path)
+        family, bind_to = _parse_addr(socket_path)
+        self.socket_path = socket_path if family == socket.AF_UNIX else None
+        if self.socket_path and os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        self._sock = socket.socket(family, socket.SOCK_STREAM)
+        if family == socket.AF_INET:
+            self._sock.setsockopt(socket.SOL_SOCKET,
+                                  socket.SO_REUSEADDR, 1)
+        self._sock.bind(bind_to)
+        if family == socket.AF_INET:   # port 0 -> kernel-chosen; publish it
+            host, port = self._sock.getsockname()
+            self.address = f"{host}:{port}"
+        else:
+            self.address = socket_path
         self._sock.listen(64)
         self._shutdown = threading.Event()
 
@@ -265,7 +302,7 @@ class IndexServer:
         for t in conns:
             t.join(timeout=2.0)
         self.batcher.close()
-        if os.path.exists(self.socket_path):
+        if self.socket_path and os.path.exists(self.socket_path):
             os.unlink(self.socket_path)
 
     def _handle(self, conn: socket.socket) -> None:
@@ -305,11 +342,12 @@ class Client:
     """Blocking client for :class:`IndexServer` (one socket, reusable)."""
 
     def __init__(self, socket_path: str, connect_timeout: float = 10.0):
-        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        family, addr = _parse_addr(socket_path)
+        self._sock = socket.socket(family, socket.SOCK_STREAM)
         t0 = time.monotonic()
         while True:   # the server may still be binding
             try:
-                self._sock.connect(socket_path)
+                self._sock.connect(addr)
                 break
             except (FileNotFoundError, ConnectionRefusedError):
                 if time.monotonic() - t0 > connect_timeout:
@@ -360,7 +398,7 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--index", required=True,
                         help=".npz from `python -m dirjax.index build`")
     parser.add_argument("--socket", required=True,
-                        help="Unix-domain socket path to listen on")
+                        help="Unix-domain socket path, or host:port for TCP")
     parser.add_argument("--max-batch", type=int, default=256,
                         help="dispatch at this many pending query rows")
     parser.add_argument("--max-wait-ms", type=float, default=2.0,
@@ -378,11 +416,15 @@ def main(argv: Optional[list] = None):
     server = IndexServer(index, args.socket, max_batch=args.max_batch,
                          max_wait_ms=args.max_wait_ms)
     print(f"serving {type(index).__name__} ({index.n} x {index.dim}) "
-          f"on {args.socket} (max_batch={args.max_batch}, "
+          f"on {server.address} (max_batch={args.max_batch}, "
           f"max_wait={args.max_wait_ms} ms)")
     server.serve_forever()
     s = server.batcher.stats
     mean = s["batched_rows"] / max(1, s["batches"])
     print(f"served {s['requests']} requests ({s['rows']} query rows) in "
           f"{s['batches']} batches (mean batch {mean:.1f})")
+    lat = server.batcher.latency_stats()
+    if lat:
+        print("latency ms: " + "  ".join(
+            f"{k[:-3]} {v:.2f}" for k, v in lat.items()))
     return server

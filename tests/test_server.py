@@ -157,6 +157,48 @@ class TestIndexServer:
             c.shutdown_server()
         t.join(timeout=10)
 
+    def test_tcp_transport(self):
+        # host:port addresses use TCP; port 0 -> kernel picks, published
+        # via server.address. Same protocol as UDS.
+        index, x = _index(keys=True)
+        server = IndexServer(index, "127.0.0.1:0", max_wait_ms=1.0)
+        assert server.socket_path is None        # no file to unlink
+        host, port = server.address.rsplit(":", 1)
+        assert host == "127.0.0.1" and int(port) > 0
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        with Client(server.address) as c:
+            vals, idxs, keys = c.search(x[:2], k=3, keys=True)
+            np.testing.assert_array_equal(idxs, index.search(x[:2], k=3)[1])
+            assert keys == index.lookup(idxs)
+            c.shutdown_server()
+        t.join(timeout=10)
+        assert not t.is_alive()
+
+    def test_addr_parsing(self):
+        import socket as so
+
+        from dirjax.server import _parse_addr
+        assert _parse_addr("/tmp/a.sock") == (so.AF_UNIX, "/tmp/a.sock")
+        assert _parse_addr("relative.sock") == (so.AF_UNIX, "relative.sock")
+        # a path with a digit suffix after ':' is still UDS if it has '/'
+        assert _parse_addr("/tmp/x:123")[0] == so.AF_UNIX
+        assert _parse_addr("127.0.0.1:80") == (so.AF_INET,
+                                               ("127.0.0.1", 80))
+        assert _parse_addr(":8080") == (so.AF_INET, ("0.0.0.0", 8080))
+
+    def test_latency_stats(self):
+        index, x = _index()
+        batcher = DynamicBatcher(index, max_batch=8, max_wait_ms=0.0)
+        assert batcher.latency_stats() == {}
+        for i in range(5):
+            batcher.search(x[i:i + 1], k=3)
+        lat = batcher.latency_stats()
+        assert set(lat) == {"p50_ms", "p90_ms", "p99_ms", "mean_ms",
+                            "max_ms"}
+        assert 0.0 < lat["p50_ms"] <= lat["p99_ms"] <= lat["max_ms"]
+        batcher.close()
+
     def test_cli_main_serves_ivf_index(self, tmp_path):
         from dirjax.cli.index import main as index_main
         from dirjax.server import main as serve_main
