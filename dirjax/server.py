@@ -95,8 +95,10 @@ class DynamicBatcher:
         self._stopping = False
         self.stats = {"requests": 0, "rows": 0, "batches": 0,
                       "batched_rows": 0}
-        # submit->result latency of the most recent requests (ms)
+        # submit->result latency of the most recent requests (ms);
+        # written by the dispatcher thread, snapshotted under _lat_lock
         self._latencies = deque(maxlen=10_000)
+        self._lat_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, name="dirjax-batcher", daemon=True)
         self._thread.start()
@@ -180,7 +182,8 @@ class DynamicBatcher:
         done, off = time.monotonic(), 0
         for _, n, fut, t0, _, _ in requests:
             fut.set_result((vals[off:off + n], idxs[off:off + n]))
-            self._latencies.append((done - t0) * 1e3)
+            with self._lat_lock:
+                self._latencies.append((done - t0) * 1e3)
             off += n
         self.stats["batches"] += 1
         self.stats["batched_rows"] += off
@@ -188,9 +191,10 @@ class DynamicBatcher:
     def latency_stats(self) -> Dict[str, float]:
         """Submit->result latency percentiles (ms) over the most recent
         requests (10k-deep window). Empty dict before the first result."""
-        if not self._latencies:
+        with self._lat_lock:   # a concurrent append would break iteration
+            lat = np.asarray(self._latencies)
+        if lat.size == 0:
             return {}
-        lat = np.asarray(self._latencies)
         return {"p50_ms": float(np.percentile(lat, 50)),
                 "p90_ms": float(np.percentile(lat, 90)),
                 "p99_ms": float(np.percentile(lat, 99)),
@@ -339,10 +343,14 @@ class IndexServer:
 
 
 class Client:
-    """Blocking client for :class:`IndexServer` (one socket, reusable)."""
+    """Blocking client for :class:`IndexServer` (one socket, reusable).
+    Thread-safe: concurrent ``search`` calls serialize on the socket —
+    give each thread its own Client when you *want* them batched
+    together server-side rather than queued here."""
 
     def __init__(self, socket_path: str, connect_timeout: float = 10.0):
         family, addr = _parse_addr(socket_path)
+        self._lock = threading.Lock()
         self._sock = socket.socket(family, socket.SOCK_STREAM)
         t0 = time.monotonic()
         while True:   # the server may still be binding
@@ -362,8 +370,9 @@ class Client:
             q = q[None, :]
         meta = {"k": int(k), "shape": list(q.shape), "keys": bool(keys),
                 "opts": opts}
-        _send_frame(self._sock, meta, q.tobytes())
-        rmeta, payload = _recv_frame(self._sock, _payload_len)
+        with self._lock:   # one request/response in flight per socket
+            _send_frame(self._sock, meta, q.tobytes())
+            rmeta, payload = _recv_frame(self._sock, _payload_len)
         if "error" in rmeta:
             raise RuntimeError(f"server error: {rmeta['error']}")
         n, kk = rmeta["shape"]

@@ -175,6 +175,31 @@ class TestIndexServer:
         t.join(timeout=10)
         assert not t.is_alive()
 
+    def test_shared_client_is_thread_safe(self, tmp_path):
+        # many threads on ONE Client: requests serialize on the socket
+        # (frames must not interleave), results stay per-caller correct
+        index, x = _index()
+        server, t, path = self._serve(index, tmp_path, max_wait_ms=1.0)
+        with Client(path) as c:
+            results = {}
+            barrier = threading.Barrier(8)
+
+            def worker(i):
+                barrier.wait()
+                results[i] = c.search(x[i:i + 2], k=3)
+
+            ws = [threading.Thread(target=worker, args=(i,))
+                  for i in range(8)]
+            for w in ws:
+                w.start()
+            for w in ws:
+                w.join()
+            for i in range(8):
+                np.testing.assert_array_equal(
+                    results[i][1], index.search(x[i:i + 2], k=3)[1])
+            c.shutdown_server()
+        t.join(timeout=10)
+
     def test_addr_parsing(self):
         import socket as so
 
