@@ -36,6 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--int8", action="store_true",
                    help="store the database int8-quantized (half the HBM, "
                         "2x corpus per chip)")
+    b.add_argument("--binary", type=int, default=0, metavar="BITS",
+                   help="ITQ binary-hash the rows to BITS sign bits "
+                        "(multiple of 32; -1 = the descriptor dim): "
+                        "BITS/8 bytes per row, Hamming ranking with "
+                        "asymmetric rescore — the capacity point between "
+                        "--pq and --int8")
+    b.add_argument("--binary-sym", action="store_true",
+                   help="with --binary: skip the asymmetric rescore "
+                        "(pure Hamming results; one phase fewer per "
+                        "query)")
     b.add_argument("--pq", type=int, default=0, metavar="M",
                    help="product-quantize to M uint8 codes per row "
                         "(~100x corpus per chip, approximate ranking); "
@@ -136,7 +146,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..serving import IVFPQIndex, PQIndex, RetrievalIndex
+    from ..serving import BinaryIndex, IVFPQIndex, PQIndex, RetrievalIndex
 
     if args.cmd == "build":
         descs = np.load(args.descs)
@@ -155,6 +165,12 @@ def main(argv=None):
                     f"pq m={index.m} ksub={args.pq_ksub}"
                     + (" opq" if args.opq else "")
                     + (" +int8-rerank" if args.pq_rerank else ""))
+        elif args.binary:
+            index = BinaryIndex(
+                descs, n_bits=None if args.binary < 0 else args.binary,
+                keys=keys, asym=not args.binary_sym)
+            kind = (f"binary {index.n_bits} bits"
+                    + (" sym" if args.binary_sym else " +asym-rescore"))
         elif args.pq:
             index = PQIndex(descs, m=args.pq, ksub=args.pq_ksub, keys=keys,
                             opq=args.opq, rerank=args.pq_rerank)
@@ -248,6 +264,12 @@ def main(argv=None):
             raise SystemExit("--int8-queries applies to int8 indexes; "
                              "this is a PQ index (ADC scoring)")
         vals, idxs = index.search(q, k=args.topk, aqe=aqe)
+    elif isinstance(index, BinaryIndex):
+        if args.int8_queries or aqe:
+            raise SystemExit("--int8-queries/--aqe don't apply to binary "
+                             "indexes (Hamming scoring; expand queries "
+                             "before hashing instead)")
+        vals, idxs = index.search(q, k=args.topk)
     else:
         vals, idxs = index.search(q, k=args.topk, aqe=aqe,
                                   int8_queries=args.int8_queries)

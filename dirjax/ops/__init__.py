@@ -1,3 +1,11 @@
+from .binary import (  # noqa: F401
+    BinaryCodec,
+    binarize,
+    fit_itq,
+    hamming_topk,
+    project_queries,
+    unpack_pm1,
+)
 from .normalize import l2_normalize  # noqa: F401
 from .pooling import (  # noqa: F401
     avg_pool,

@@ -23,7 +23,7 @@ so extraction workers, RPC shims, or remote hosts can share one
 resident index. ``python -m dirjax.serve`` is the CLI entry point.
 
 Works with every index family in :mod:`dirjax.serving` (flat bf16/int8,
-PQ, IVF-PQ): options (``aqe``, ``nprobe``, ``int8_queries``,
+binary, PQ, IVF-PQ): options (``aqe``, ``nprobe``, ``int8_queries``,
 ``rerank_factor``, ...) pass through per request and batch only with
 identical signatures.
 """

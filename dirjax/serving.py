@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.binary import (BinaryCodec, binarize, fit_itq, hamming_topk,
+                         pad_for_search, project_queries, unpack_pm1)
 from .ops.ivf import (IVFArrays, bin_ivf, build_ivf, ivf_assign, ivf_topk,
                       unbin_ivf)
 from .ops.pq import (encode_pq, pq_lookup, pq_topk, reconstruct_pq,
@@ -28,7 +30,7 @@ from .ops.pq import (encode_pq, pq_lookup, pq_topk, reconstruct_pq,
 from .ops.qe import expand_queries_chunked
 from .ops.topk_pallas import quantize_db, rank_topk_fused
 
-__all__ = ["RetrievalIndex", "PQIndex", "IVFPQIndex"]
+__all__ = ["RetrievalIndex", "BinaryIndex", "PQIndex", "IVFPQIndex"]
 
 
 def _rotate_rows(x, r):
@@ -364,6 +366,8 @@ class RetrievalIndex(_Tombstones):
                 return IVFPQIndex.load(path)
             if "pq_codes" in probe:
                 return PQIndex.load(path, mesh=mesh)
+            if "binary_codes" in probe:
+                return BinaryIndex.load(path)
         with np.load(path, allow_pickle=False) as data:
             keys = [str(k) for k in data["keys"]] if "keys" in data else None
             if "descriptors_i8" in data:
@@ -400,6 +404,160 @@ class RetrievalIndex(_Tombstones):
         idx = cls(descs, keys=keys, mesh=mesh,
                   dtype=jnp.float32 if dtype is None else dtype)
         idx._tomb_restore(removed)
+        return idx
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def _asym_rescore_impl(vq, codes, idxs, k: int):
+    """Asymmetric rescore: continuous projected queries against ±1
+    unpacked candidate codes — an einsum over the small shortlist, so
+    precision costs nothing at serving scale."""
+    cand = unpack_pm1(jnp.take(codes, jnp.maximum(idxs, 0), axis=0))
+    scores = jnp.einsum("qb,qcb->qc", vq, cand,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(idxs >= 0, scores, -jnp.inf)
+    vals, pos = jax.lax.top_k(scores, min(k, scores.shape[1]))
+    sel = jnp.take_along_axis(idxs, pos, axis=1)
+    return vals, jnp.where(jnp.isfinite(vals), sel, -1)
+
+
+class BinaryIndex(_Tombstones):
+    """ITQ binary-hash index: ``n_bits/8`` bytes per row.
+
+    The capacity point between PQ (32 B/row) and int8 (2 KB/row at
+    2048-D): 2048-bit sign codes are 256 B/row — 8x the int8 corpus per
+    chip — with far higher per-row fidelity than 32-B PQ codes. Queries
+    rank by packed Hamming distance (:func:`dirjax.ops.binary.hamming_topk`:
+    VPU ``population_count`` streaming, block-max selection, exact values);
+    with ``asym=True`` (default) the top ``rerank_factor * k`` Hamming
+    candidates are rescored asymmetrically — continuous projected query
+    against ±1 codes — which recovers most of the query-side quantization
+    loss without storing any float rows.
+
+    The codec is learned from the indexed corpus (ITQ: PCA + an iterative
+    orthogonal rotation that balances bit variance,
+    :func:`dirjax.ops.binary.fit_itq`); ``itq_iters=0`` gives plain PCA
+    sign hashing. No reference counterpart (dirtorch's ranking is one
+    dense fp32 CPU matmul, ``utils/common.py:30-38``).
+    """
+
+    NQ_BUCKETS = RetrievalIndex.NQ_BUCKETS
+
+    def __init__(self, descriptors, n_bits: Optional[int] = None,
+                 keys: Optional[Sequence[str]] = None, *,
+                 itq_iters: int = 30, asym: bool = True, seed: int = 0,
+                 sample: Optional[int] = 131072, _codec=None):
+        if not isinstance(descriptors, jnp.ndarray):   # keep device arrays
+            descriptors = np.asarray(descriptors, np.float32)
+        assert descriptors.ndim == 2, "descriptors must be (N, D)"
+        self.n = int(descriptors.shape[0])
+        self.dim = int(descriptors.shape[1])
+        self.keys = list(keys) if keys is not None else None
+        if self.keys is not None:
+            assert len(self.keys) == self.n
+        self.asym = bool(asym)
+        self.codec = _codec if _codec is not None else fit_itq(
+            descriptors, n_bits, iters=itq_iters, seed=seed, sample=sample)
+        self._codes = pad_for_search(binarize(descriptors, self.codec))
+
+    n_bits = property(lambda self: self.codec.n_bits)
+
+    # --- search ---------------------------------------------------------
+    def search(self, queries, k: int = 10, *, rerank_factor: int = 4
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k (scores, indices) per query row. Symmetric scores are the
+        ±1 dot product ``n_bits - 2*hamming``; asymmetric scores are the
+        continuous projected dot product — both sort descending like every
+        other index tier. Hamming distances tie often: exact *values*,
+        tie-broken indices."""
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        assert q.shape[1] == self.dim, \
+            f"query dim {q.shape[1]} != index dim {self.dim}"
+        nq = len(q)
+        bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
+        if bucket != nq:
+            q = np.concatenate(
+                [q, np.zeros((bucket - nq, self.dim), np.float32)])
+        if k > self.n:
+            raise ValueError(f"k={k} exceeds the {self.n} database rows")
+        qj = jnp.asarray(q)
+        qp = binarize(qj, self.codec)
+        pad = self._tomb_pad() if self.n_removed else 0
+        if self.asym:
+            kf = min(max(k * rerank_factor, k) + pad, self.n)
+            _, cand = hamming_topk(qp, self._codes, kf, n_valid=self.n)
+            vals, idxs = _asym_rescore_impl(
+                project_queries(qj, self.codec), self._codes, cand,
+                min(k + pad, kf))
+        else:
+            vals, idxs = hamming_topk(qp, self._codes,
+                                      min(k + pad, self.n), n_valid=self.n)
+        if pad:
+            vals, idxs = self._tomb_filter(vals, idxs, k)
+        return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
+
+    # --- mutation ---------------------------------------------------------
+    def add(self, descriptors, keys: Optional[Sequence[str]] = None) -> None:
+        """Encode new rows with the EXISTING codec and append (growth
+        changes shapes — recompile per new size — so batch additions)."""
+        new = np.asarray(descriptors, np.float32)
+        assert new.ndim == 2 and new.shape[1] == self.dim, new.shape
+        if self.keys is not None:
+            assert keys is not None and len(keys) == len(new), \
+                "index carries keys: add() needs one key per new row"
+        merged = jnp.concatenate(
+            [self._codes[: self.n], binarize(new, self.codec)])
+        self._codes = pad_for_search(merged)
+        if self.keys is not None:
+            self.keys.extend(keys)
+        self._tomb_extend(len(new))
+        self.n += len(new)
+
+    def _compact_rows(self, keep_idx: np.ndarray) -> None:
+        self._codes = pad_for_search(
+            jnp.take(self._codes, jnp.asarray(keep_idx), axis=0))
+
+    # --- persistence ------------------------------------------------------
+    def save(self, path: str) -> None:
+        """One npz: packed uint32 codes + the codec (mean, projection).
+        A 10M-image 2048-bit index saves in ~2.4 GB; codes reload without
+        re-hashing."""
+        arrays = {
+            "binary_codes": np.asarray(self._codes[: self.n]),
+            "binary_mean": np.asarray(self.codec.mean, np.float32),
+            "binary_proj": np.asarray(self.codec.proj, np.float32),
+            "binary_asym": np.asarray(int(self.asym)),
+        }
+        self._tomb_save(arrays)
+        if self.keys is not None:
+            arrays["keys"] = np.asarray(self.keys)
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "BinaryIndex":
+        with np.load(path, allow_pickle=False) as data:
+            codes = data["binary_codes"]
+            mean = data["binary_mean"]
+            proj = data["binary_proj"]
+            asym = bool(int(data["binary_asym"]))
+            keys = [str(k) for k in data["keys"]] if "keys" in data else None
+            removed = cls._tomb_unpack(data, len(codes))
+        idx = cls.__new__(cls)
+        idx._tomb_restore(removed)
+        idx.n = len(codes)
+        idx.dim = int(mean.shape[0])
+        idx.keys = keys
+        idx.asym = asym
+        idx.codec = BinaryCodec(mean=jnp.asarray(mean),
+                                proj=jnp.asarray(proj))
+        idx._codes = pad_for_search(jnp.asarray(codes))
         return idx
 
 

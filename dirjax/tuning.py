@@ -105,11 +105,13 @@ def tune(index, queries, ground_truth=None, *, k: int = 10,
       ``rerank_factor`` when the index keeps int8 rerank rows;
     * ``PQIndex`` — ``rerank_factor`` (rerank indexes; plain ADC has no
       knob and just gets measured);
+    * ``BinaryIndex`` — ``rerank_factor`` (the asymmetric-rescore
+      shortlist width; symmetric indexes just get measured);
     * ``RetrievalIndex`` — exact already: measured once, no sweep.
 
     Returns the first (cheapest) configuration meeting the target, or
     ``met=False`` with the best-recall configuration tried."""
-    from .serving import IVFPQIndex, PQIndex, RetrievalIndex
+    from .serving import BinaryIndex, IVFPQIndex, PQIndex, RetrievalIndex
 
     q = np.asarray(queries, np.float32)
     if ground_truth is None:
@@ -140,6 +142,9 @@ def tune(index, queries, ground_truth=None, *, k: int = 10,
     elif isinstance(index, PQIndex):
         grid = [({} if rf is None else {"rerank_factor": rf})
                 for rf in rfs]
+    elif isinstance(index, BinaryIndex):
+        grid = [{"rerank_factor": rf} for rf in rerank_factors] \
+            if index.asym else [{}]
     elif isinstance(index, RetrievalIndex):
         grid = [{}]
     else:

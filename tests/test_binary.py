@@ -1,0 +1,273 @@
+"""Binary-hash tier tests: packing, ITQ, exact Hamming top-k vs a numpy
+oracle, asymmetric rescore recall, BinaryIndex serving (add / remove /
+compact / save / load / loader dispatch).
+
+Hamming exactness contract: returned VALUES match the brute-force oracle
+exactly (they are ``n_bits - 2*dist`` integers); tie-broken indices may
+differ (Hamming distances are small ints — ties are the common case), so
+index assertions compare score-equivalence, not index identity.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dirjax.ops.binary import (BinaryCodec, binarize, fit_itq, hamming_topk,
+                               pad_for_search, project_queries, unpack_pm1)
+from dirjax.serving import BinaryIndex, RetrievalIndex
+
+
+def _oracle_sims(qp, dbp):
+    """Brute-force ±1-dot similarity from packed codes, on host."""
+    x = np.bitwise_xor(qp[:, None, :], dbp[None, :, :])
+    dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    return 32 * qp.shape[1] - 2 * dist.astype(np.int64)
+
+
+def _rand_codes(rng, n, w):
+    return rng.integers(0, 2 ** 32, size=(n, w), dtype=np.uint64) \
+        .astype(np.uint32)
+
+
+class TestPacking:
+    def test_binarize_packs_projection_signs(self, rng):
+        x = rng.normal(size=(17, 64)).astype(np.float32)
+        codec = BinaryCodec(mean=jnp.zeros(64),
+                            proj=jnp.eye(64, dtype=jnp.float32))
+        packed = np.asarray(binarize(x, codec))
+        assert packed.shape == (17, 2) and packed.dtype == np.uint32
+        bits = (x >= 0)
+        for w in range(2):
+            for b in range(32):
+                got = (packed[:, w] >> b) & 1
+                np.testing.assert_array_equal(got, bits[:, 32 * w + b])
+
+    def test_unpack_pm1_roundtrip(self, rng):
+        codes = _rand_codes(rng, 5, 3)
+        pm1 = np.asarray(unpack_pm1(jnp.asarray(codes)))
+        assert pm1.shape == (5, 96) and set(np.unique(pm1)) <= {-1.0, 1.0}
+        bits = ((pm1 + 1) / 2).astype(np.uint32)
+        repacked = sum(bits[:, None, :].reshape(5, 3, 32)[..., b] << b
+                       for b in range(32)).astype(np.uint32)
+        np.testing.assert_array_equal(repacked, codes)
+
+    def test_pad_for_search_is_idempotent(self, rng):
+        codes = jnp.asarray(_rand_codes(rng, 300, 2))
+        padded = pad_for_search(codes)
+        assert padded.shape[0] % 128 == 0
+        np.testing.assert_array_equal(np.asarray(pad_for_search(padded)),
+                                      np.asarray(padded))
+
+
+class TestHammingTopk:
+    @pytest.mark.parametrize("n,block,chunk", [
+        (1000, 128, 32768),     # single chunk, padded tail
+        (1000, 16, 64),         # many chunks + many blocks
+        (64, 128, 32768),       # db smaller than one block
+    ])
+    def test_values_match_oracle(self, rng, n, block, chunk):
+        qp = jnp.asarray(_rand_codes(rng, 5, 2))
+        dbp = _rand_codes(rng, n, 2)
+        k = min(10, n)
+        vals, idxs = hamming_topk(qp, jnp.asarray(dbp), k,
+                                  block=block, chunk_rows=chunk)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        oracle = _oracle_sims(np.asarray(qp), dbp)
+        expect = -np.sort(-oracle, axis=1)[:, :k]
+        np.testing.assert_array_equal(vals.astype(np.int64), expect)
+        # every returned index's score matches its returned value
+        got = np.take_along_axis(oracle, idxs, axis=1)
+        np.testing.assert_array_equal(got, vals.astype(np.int64))
+
+    def test_n_valid_masks_tail_rows(self, rng):
+        dbp = _rand_codes(rng, 200, 2)
+        qp = jnp.asarray(dbp[:3])        # queries = rows -> dist 0 to self
+        padded = pad_for_search(jnp.asarray(dbp))
+        vals, idxs = hamming_topk(qp, padded, 150, n_valid=200)
+        assert int(np.max(np.asarray(idxs))) < 200
+        oracle = _oracle_sims(np.asarray(qp), dbp)
+        expect = -np.sort(-oracle, axis=1)[:, :150]
+        np.testing.assert_array_equal(np.asarray(vals).astype(np.int64),
+                                      expect)
+
+    def test_k_exceeding_rows_raises(self, rng):
+        dbp = jnp.asarray(_rand_codes(rng, 50, 1))
+        with pytest.raises(AssertionError):
+            hamming_topk(dbp[:2], dbp, 51)
+
+
+class TestITQ:
+    def test_projection_is_orthonormal(self, rng):
+        x = rng.normal(size=(400, 48)).astype(np.float32)
+        codec = fit_itq(x, n_bits=32, iters=5)
+        p = np.asarray(codec.proj)
+        assert p.shape == (48, 32)
+        np.testing.assert_allclose(p.T @ p, np.eye(32), atol=1e-4)
+
+    def test_rotation_improves_itq_objective(self, rng):
+        # Orthogonal rotations preserve ||V||_F, so minimizing the ITQ
+        # loss ||sign(VR) - VR||^2 is exactly maximizing sum |VR|.
+        # On anisotropic data the learned rotation must beat PCA-only.
+        scales = np.linspace(3.0, 0.1, 32)
+        x = (rng.normal(size=(600, 32)) * scales).astype(np.float32)
+
+        def l1(codec):
+            return float(np.abs(np.asarray(
+                project_queries(x, codec))).sum())
+
+        assert l1(fit_itq(x, n_bits=32, iters=20)) \
+            > l1(fit_itq(x, n_bits=32, iters=0))
+
+    def test_bad_n_bits_rejected(self, rng):
+        x = rng.normal(size=(100, 64)).astype(np.float32)
+        with pytest.raises(AssertionError):
+            fit_itq(x, n_bits=40)       # not a multiple of 32
+        with pytest.raises(AssertionError):
+            fit_itq(x, n_bits=96)       # > dim
+
+    def test_sample_caps_fit_rows(self, rng):
+        x = rng.normal(size=(300, 32)).astype(np.float32)
+        codec = fit_itq(x, iters=2, sample=64)
+        assert codec.proj.shape == (32, 32)
+
+
+@pytest.fixture
+def clustered(rng):
+    centers = rng.normal(size=(20, 64)).astype(np.float32)
+    db = (centers[rng.integers(0, 20, size=800)]
+          + 0.15 * rng.normal(size=(800, 64)).astype(np.float32))
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[rng.choice(800, size=8, replace=False)] \
+        + 0.05 * rng.normal(size=(8, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return db.astype(np.float32), q.astype(np.float32)
+
+
+def _recall(idxs, gt, k):
+    hits = sum(len(set(map(int, r[:k])) & set(map(int, g[:k])))
+               for r, g in zip(idxs, gt))
+    return hits / (len(gt) * k)
+
+
+class TestBinaryIndex:
+    def test_recall_and_asym_beats_symmetric(self, clustered):
+        db, q = clustered
+        _, gt = RetrievalIndex(db).search(q, k=10)
+        sym = BinaryIndex(db, itq_iters=10, asym=False, sample=None)
+        asym = BinaryIndex(db, itq_iters=10, asym=True, sample=None)
+        _, i_sym = sym.search(q, k=10)
+        _, i_asym = asym.search(q, k=10, rerank_factor=8)
+        r_sym, r_asym = _recall(i_sym, gt, 10), _recall(i_asym, gt, 10)
+        assert r_asym >= r_sym
+        assert r_asym > 0.7, (r_sym, r_asym)
+
+    def test_self_query_found(self, clustered):
+        db, _ = clustered
+        idx = BinaryIndex(db, itq_iters=5, sample=None)
+        _, ids = idx.search(db[:6], k=5)
+        # a row's own code is at Hamming distance 0 — it must surface
+        # (near-duplicate cluster mates can tie it, hence top-5 not top-1)
+        assert all(i in set(map(int, row)) for i, row in enumerate(ids))
+
+    def test_keys_add_remove_compact(self, clustered):
+        db, q = clustered
+        keys = [f"img{i}" for i in range(len(db))]
+        idx = BinaryIndex(db[:700], keys=keys[:700], itq_iters=3,
+                          sample=None)
+        idx.add(db[700:], keys=keys[700:])
+        assert idx.n == 800
+        vals, ids = idx.search(q, k=5)
+        names = idx.lookup(ids)
+        assert all(n1 == f"img{j}" for row, jrow in zip(names, ids)
+                   for n1, j in zip(row, jrow))
+        top = [int(r[0]) for r in ids]
+        idx.remove(indices=top)
+        # rerank_factor large enough that the asym rescore covers the
+        # whole corpus: continuous scores tie-break deterministically,
+        # so pre/post-compact results are comparable row sets
+        _, ids2 = idx.search(q, k=5, rerank_factor=200)
+        assert not (set(map(int, ids2.ravel())) & set(top))
+        mapping = idx.compact()
+        assert idx.n == 800 - len(set(top))
+        _, ids3 = idx.search(q, k=5, rerank_factor=200)
+        renamed = {int(mapping[i]) for i in map(int, ids2.ravel()) if i >= 0}
+        assert set(map(int, ids3.ravel())) == renamed
+
+    def test_save_load_roundtrip_and_dispatch(self, clustered, tmp_path):
+        db, q = clustered
+        idx = BinaryIndex(db, keys=[str(i) for i in range(len(db))],
+                          itq_iters=3, sample=None)
+        idx.remove(indices=[3, 7])
+        path = os.path.join(tmp_path, "bin.npz")
+        idx.save(path)
+        back = RetrievalIndex.load(path)      # auto-dispatch
+        assert isinstance(back, BinaryIndex)
+        assert back.n == idx.n and back.n_removed == 2 and back.asym
+        v1, i1 = idx.search(q, k=5)
+        v2, i2 = back.search(q, k=5)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6)
+        np.testing.assert_array_equal(i1, i2)
+
+    def test_single_query_and_k_guard(self, clustered):
+        db, q = clustered
+        idx = BinaryIndex(db, itq_iters=0, sample=None)
+        vals, ids = idx.search(q[0], k=3)
+        assert vals.shape == (1, 3)
+        with pytest.raises(ValueError):
+            idx.search(q, k=len(db) + 1)
+
+
+class TestTuning:
+    def test_tune_sweeps_rerank_factor(self, clustered):
+        from dirjax.tuning import tune
+
+        db, q = clustered
+        idx = BinaryIndex(db, itq_iters=5, sample=None)
+        res = tune(idx, q, k=5, target=0.6, descriptors=db)
+        assert res.trials and "rerank_factor" in res.trials[0][0]
+        assert res.met == (res.recall >= 0.6)
+
+    def test_tune_symmetric_has_no_knob(self, clustered):
+        from dirjax.tuning import tune
+
+        db, q = clustered
+        idx = BinaryIndex(db, itq_iters=5, asym=False, sample=None)
+        res = tune(idx, q, k=5, target=2.0, descriptors=db)  # unmeetable
+        assert [p for p, _ in res.trials] == [{}]
+        assert not res.met
+
+
+class TestCLI:
+    def test_build_query_binary(self, clustered, tmp_path):
+        from dirjax.cli.index import main
+
+        db, q = clustered
+        np.save(tmp_path / "db.npy", db)
+        np.save(tmp_path / "q.npy", q)
+        keys = tmp_path / "keys.txt"
+        keys.write_text("".join(f"img{i}\n" for i in range(len(db))))
+        out = str(tmp_path / "bin.npz")
+        main(["build", "--descs", str(tmp_path / "db.npy"),
+              "--keys", str(keys), "--binary", "-1",
+              "--out", out, "--gpu", "-1"])
+        res = main(["query", "--index", out,
+                    "--descs", str(tmp_path / "q.npy"), "-k", "3",
+                    "--gpu", "-1"])
+        assert len(res["keys"]) == len(q)
+        assert all(len(row) >= 3 for row in res["indices"])
+
+    def test_aqe_rejected_on_binary(self, clustered, tmp_path):
+        from dirjax.cli.index import main
+
+        db, q = clustered
+        np.save(tmp_path / "db.npy", db)
+        np.save(tmp_path / "q.npy", q)
+        out = str(tmp_path / "bin.npz")
+        main(["build", "--descs", str(tmp_path / "db.npy"),
+              "--binary", "64", "--out", out, "--gpu", "-1"])
+        with pytest.raises(SystemExit):
+            main(["query", "--index", out, "--descs",
+                  str(tmp_path / "q.npy"), "--aqe", "3", "2",
+                  "--gpu", "-1"])
