@@ -156,6 +156,15 @@ def main(argv=None):
                     if ln.strip()]
             assert len(keys) == len(descs), \
                 f"{len(keys)} keys != {len(descs)} descriptors"
+        # storage kinds are mutually exclusive (--ivf composes with --pq
+        # knobs; --pq-rerank composes int8 rows INTO a pq/ivf index)
+        exclusive = [f for f, on in [("--binary", bool(args.binary)),
+                                     ("--pq/--ivf", bool(args.pq or args.ivf)),
+                                     ("--int8", args.int8)] if on]
+        if len(exclusive) > 1:
+            raise SystemExit(
+                f"conflicting storage flags: {' + '.join(exclusive)} — pick "
+                "one (use --pq-rerank to pair int8 rows with a PQ index)")
         if args.ivf:
             index = IVFPQIndex(descs, nlist=args.ivf, m=args.pq or 32,
                                ksub=args.pq_ksub, nprobe=args.nprobe,

@@ -3,6 +3,7 @@ from .binary import (  # noqa: F401
     binarize,
     fit_itq,
     hamming_topk,
+    pad_for_search,
     project_queries,
     unpack_pm1,
 )

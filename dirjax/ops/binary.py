@@ -52,8 +52,13 @@ class BinaryCodec(NamedTuple):
     """Learned hash: ``bits = sign((x - mean) @ proj)``.
 
     ``proj`` is (D, n_bits) with orthonormal columns (PCA basis times the
-    ITQ rotation), so asymmetric scores in the projected space rank like
-    dot products in descriptor space."""
+    ITQ rotation). Asymmetric scores rank by the CENTERED dot product
+    ``(q - mean)·(x - mean)`` (up to the n_bits-dim projection): the
+    per-row ``-mean·x`` term means rankings can differ from raw-dot
+    rankings when the corpus mean is far from zero — an inherent recall
+    cost of ITQ, which needs centered data for balanced bits. L2-normed
+    retrieval descriptors have small means, so the reordering is minor
+    there."""
 
     mean: jnp.ndarray    # (D,)
     proj: jnp.ndarray    # (D, n_bits)
