@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["BinaryCodec", "fit_itq", "binarize", "project_queries",
-           "unpack_pm1", "hamming_topk", "pad_for_search"]
+           "unpack_pm1", "hamming_topk", "pad_for_search", "asym_rescore"]
 
 
 class BinaryCodec(NamedTuple):
@@ -225,6 +225,23 @@ def _hamming_topk_impl(qp, dbp, n_valid, k: int, block: int,
     idxs = jnp.take_along_axis(row_ids.reshape(nq, kb * block), pos, axis=1)
     return (vals.astype(jnp.float32),
             jnp.where(vals > neg, idxs, -1))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def asym_rescore(vq, codes, idxs, k: int):
+    """Asymmetric rescore of a Hamming-candidate shortlist: continuous
+    projected queries ``vq`` (:func:`project_queries`) against ±1 unpacked
+    candidate codes — an einsum over the small shortlist, so fp32 HIGHEST
+    precision costs nothing at serving scale. ``idxs`` slots of ``-1`` are
+    ignored; returns the top-k ``(values, indices)`` of the shortlist."""
+    cand = unpack_pm1(jnp.take(codes, jnp.maximum(idxs, 0), axis=0))
+    scores = jnp.einsum("qb,qcb->qc", vq, cand,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(idxs >= 0, scores, -jnp.inf)
+    vals, pos = jax.lax.top_k(scores, min(k, scores.shape[1]))
+    sel = jnp.take_along_axis(idxs, pos, axis=1)
+    return vals, jnp.where(jnp.isfinite(vals), sel, -1)
 
 
 def hamming_topk(q_packed, db_packed, k: int, *, n_valid: Optional[int] = None,

@@ -22,7 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_database", "shard_database_quantized", "sharded_topk",
            "sharded_scores", "sharded_aqe", "shard_codes", "sharded_pq_topk",
-           "shard_ivf", "sharded_ivf_topk"]
+           "shard_ivf", "sharded_ivf_topk", "shard_codes_binary",
+           "sharded_hamming_topk"]
 
 
 def shard_database(db, mesh: Mesh, axis: str = "db"):
@@ -388,6 +389,91 @@ def sharded_ivf_topk(luts, q, ivf_sharded, k: int, mesh: Mesh, *,
     merged_vals, pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
     merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
     return merged_vals, merged_idxs
+
+
+def shard_codes_binary(codes, mesh: Mesh, axis: str = "db"):
+    """Place an (N, W) packed uint32 sign-code matrix row-sharded over
+    ``axis``. Pads N to a multiple of ``ndev * 128`` so every shard is
+    block-aligned for :func:`dirjax.ops.binary.hamming_topk`'s fine-max
+    phases; pad rows are masked by ``n_valid`` at query time."""
+    codes = jnp.asarray(codes)
+    n = codes.shape[0]
+    mult = mesh.shape[axis] * 128
+    pad = (-n) % mult
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)])
+    return jax.device_put(codes, NamedSharding(mesh, P(axis, None))), n
+
+
+def sharded_hamming_topk(q_packed, codes_sharded, k: int, mesh: Mesh,
+                         n_valid: int, axis: str = "db", *, vq=None,
+                         rerank_factor: int = 4, block: int = 128,
+                         chunk_rows: int = 32768):
+    """Global Hamming top-k over row-sharded packed sign codes.
+
+    Each shard runs the single-chip three-phase exact kernel
+    (:func:`dirjax.ops.binary.hamming_topk`) on its rows with a local
+    validity bound, then the O(devices*k) candidate merge shared with
+    every other sharded tier. Values are the ±1 dot ``n_bits - 2*dist``;
+    invalid slots carry index ``-1``.
+
+    With ``vq`` (continuous projected queries from
+    :func:`dirjax.ops.binary.project_queries`, replicated — (nq, n_bits)
+    fp32 is tiny ICI traffic) each shard rescores its own top
+    ``rerank_factor * k`` Hamming candidates asymmetrically before the
+    merge. Every shard's shortlist is at least as deep as its share of
+    the global shortlist, so the merged result can only improve on the
+    single-chip rescore of the same depth.
+    """
+    from ..ops.binary import _hamming_topk_impl, asym_rescore
+
+    qp = jnp.asarray(q_packed)
+    ndev = mesh.shape[axis]
+    shard_rows = codes_sharded.shape[0] // ndev
+    kk = min(k, shard_rows)
+    kf = min(max(k * rerank_factor, k), shard_rows) if vq is not None else kk
+    # mirror hamming_topk's chunk sizing against the SHARD row count
+    cr = max(block, min(chunk_rows, shard_rows))
+    cr -= cr % block
+    local_pad = (-shard_rows) % cr
+    if vq is not None:
+        vq = jnp.asarray(vq, jnp.float32)
+
+    def _local(qp_rep, codes_local, vq_rep=None):
+        rows = codes_local.shape[0]
+        offset = jax.lax.axis_index(axis) * rows
+        local_valid = jnp.clip(n_valid - offset, 0, rows)
+        if local_pad:
+            codes_local = jnp.concatenate(
+                [codes_local,
+                 jnp.zeros((local_pad, codes_local.shape[1]),
+                           codes_local.dtype)])
+        v, i = _hamming_topk_impl(qp_rep, codes_local, local_valid,
+                                  kf, block, cr)
+        if vq_rep is not None:
+            # rescore against LOCAL codes with local candidate ids, then
+            # globalize (codes_local rows are this shard's rows)
+            v, i = asym_rescore(vq_rep, codes_local, i, kk)
+            v = jnp.where(jnp.isfinite(v), v, jnp.float32(-(2 ** 30)))
+        return v, jnp.where(i >= 0, i + offset, -1)
+
+    if vq is None:
+        local = shard_map(
+            lambda a, b: _local(a, b), mesh=mesh,
+            in_specs=(P(), P(axis, None)),
+            out_specs=(P(None, axis), P(None, axis)), check_vma=False)
+        vals, idxs = local(qp, codes_sharded)
+    else:
+        local = shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(), P(axis, None), P()),
+            out_specs=(P(None, axis), P(None, axis)), check_vma=False)
+        vals, idxs = local(qp, codes_sharded, vq)
+    merged_vals, pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    merged_idxs = jnp.take_along_axis(idxs, pos, axis=1)
+    return merged_vals, jnp.where(merged_vals > -(2 ** 30),
+                                  merged_idxs, -1)
 
 
 def sharded_scores(q, db_sharded, mesh: Mesh, n_valid: int, axis: str = "db"):

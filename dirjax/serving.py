@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.binary import (BinaryCodec, binarize, fit_itq, hamming_topk,
-                         pad_for_search, project_queries, unpack_pm1)
+from .ops.binary import (BinaryCodec, asym_rescore, binarize, fit_itq,
+                         hamming_topk, pad_for_search, project_queries)
 from .ops.ivf import (IVFArrays, bin_ivf, build_ivf, ivf_assign, ivf_topk,
                       unbin_ivf)
 from .ops.pq import (encode_pq, pq_lookup, pq_topk, reconstruct_pq,
@@ -367,7 +367,7 @@ class RetrievalIndex(_Tombstones):
             if "pq_codes" in probe:
                 return PQIndex.load(path, mesh=mesh)
             if "binary_codes" in probe:
-                return BinaryIndex.load(path)
+                return BinaryIndex.load(path, mesh=mesh)
         with np.load(path, allow_pickle=False) as data:
             keys = [str(k) for k in data["keys"]] if "keys" in data else None
             if "descriptors_i8" in data:
@@ -407,22 +407,9 @@ class RetrievalIndex(_Tombstones):
         return idx
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.jit, static_argnames=("k",))
-def _asym_rescore_impl(vq, codes, idxs, k: int):
-    """Asymmetric rescore: continuous projected queries against ±1
-    unpacked candidate codes — an einsum over the small shortlist, so
-    precision costs nothing at serving scale."""
-    cand = unpack_pm1(jnp.take(codes, jnp.maximum(idxs, 0), axis=0))
-    scores = jnp.einsum("qb,qcb->qc", vq, cand,
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-    scores = jnp.where(idxs >= 0, scores, -jnp.inf)
-    vals, pos = jax.lax.top_k(scores, min(k, scores.shape[1]))
-    sel = jnp.take_along_axis(idxs, pos, axis=1)
-    return vals, jnp.where(jnp.isfinite(vals), sel, -1)
+# asymmetric shortlist rescore lives in ops.binary (shared with the
+# sharded path in parallel/ranking.py)
+_asym_rescore_impl = asym_rescore
 
 
 class BinaryIndex(_Tombstones):
@@ -441,8 +428,11 @@ class BinaryIndex(_Tombstones):
     The codec is learned from the indexed corpus (ITQ: PCA + an iterative
     orthogonal rotation that balances bit variance,
     :func:`dirjax.ops.binary.fit_itq`); ``itq_iters=0`` gives plain PCA
-    sign hashing. No reference counterpart (dirtorch's ranking is one
-    dense fp32 CPU matmul, ``utils/common.py:30-38``).
+    sign hashing. ``mesh=``: codes row-sharded over the mesh's "db" axis
+    (:func:`dirjax.parallel.ranking.sharded_hamming_topk` — per-shard
+    Hamming + asym rescore, O(devices*k) candidate merge). No reference
+    counterpart (dirtorch's ranking is one dense fp32 CPU matmul,
+    ``utils/common.py:30-38``).
     """
 
     NQ_BUCKETS = RetrievalIndex.NQ_BUCKETS
@@ -450,7 +440,7 @@ class BinaryIndex(_Tombstones):
     def __init__(self, descriptors, n_bits: Optional[int] = None,
                  keys: Optional[Sequence[str]] = None, *,
                  itq_iters: int = 30, asym: bool = True, seed: int = 0,
-                 sample: Optional[int] = 131072, _codec=None):
+                 sample: Optional[int] = 131072, mesh=None, _codec=None):
         if not isinstance(descriptors, jnp.ndarray):   # keep device arrays
             descriptors = np.asarray(descriptors, np.float32)
         assert descriptors.ndim == 2, "descriptors must be (N, D)"
@@ -460,9 +450,20 @@ class BinaryIndex(_Tombstones):
         if self.keys is not None:
             assert len(self.keys) == self.n
         self.asym = bool(asym)
+        self.mesh = mesh
         self.codec = _codec if _codec is not None else fit_itq(
             descriptors, n_bits, iters=itq_iters, seed=seed, sample=sample)
-        self._codes = pad_for_search(binarize(descriptors, self.codec))
+        self._set_codes(binarize(descriptors, self.codec))
+
+    def _set_codes(self, codes) -> None:
+        """Place packed codes: padded on one chip, or row-sharded over the
+        mesh's "db" axis (:func:`dirjax.parallel.ranking.shard_codes_binary`)."""
+        if self.mesh is None:
+            self._codes = pad_for_search(codes)
+        else:
+            from .parallel.ranking import shard_codes_binary
+
+            self._codes, _ = shard_codes_binary(codes, self.mesh)
 
     n_bits = property(lambda self: self.codec.n_bits)
 
@@ -489,7 +490,14 @@ class BinaryIndex(_Tombstones):
         qj = jnp.asarray(q)
         qp = binarize(qj, self.codec)
         pad = self._tomb_pad() if self.n_removed else 0
-        if self.asym:
+        if self.mesh is not None:
+            from .parallel.ranking import sharded_hamming_topk
+
+            vq = project_queries(qj, self.codec) if self.asym else None
+            vals, idxs = sharded_hamming_topk(
+                qp, self._codes, min(k + pad, self.n), self.mesh, self.n,
+                vq=vq, rerank_factor=rerank_factor)
+        elif self.asym:
             kf = min(max(k * rerank_factor, k) + pad, self.n)
             _, cand = hamming_topk(qp, self._codes, kf, n_valid=self.n)
             vals, idxs = _asym_rescore_impl(
@@ -511,17 +519,23 @@ class BinaryIndex(_Tombstones):
         if self.keys is not None:
             assert keys is not None and len(keys) == len(new), \
                 "index carries keys: add() needs one key per new row"
-        merged = jnp.concatenate(
-            [self._codes[: self.n], binarize(new, self.codec)])
-        self._codes = pad_for_search(merged)
+        old = self._codes[: self.n]
+        if self.mesh is not None:   # gather before mixing shardings
+            old = jnp.asarray(np.asarray(old))
+        merged = jnp.concatenate([old, binarize(new, self.codec)])
         if self.keys is not None:
             self.keys.extend(keys)
         self._tomb_extend(len(new))
         self.n += len(new)
+        self._set_codes(merged)
 
     def _compact_rows(self, keep_idx: np.ndarray) -> None:
-        self._codes = pad_for_search(
-            jnp.take(self._codes, jnp.asarray(keep_idx), axis=0))
+        if self.mesh is None:
+            kept = jnp.take(self._codes, jnp.asarray(keep_idx), axis=0)
+        else:
+            kept = jnp.asarray(
+                np.take(np.asarray(self._codes), keep_idx, axis=0))
+        self._set_codes(kept)
 
     # --- persistence ------------------------------------------------------
     def save(self, path: str) -> None:
@@ -541,7 +555,7 @@ class BinaryIndex(_Tombstones):
             np.savez(f, **arrays)
 
     @classmethod
-    def load(cls, path: str) -> "BinaryIndex":
+    def load(cls, path: str, mesh=None) -> "BinaryIndex":
         with np.load(path, allow_pickle=False) as data:
             codes = data["binary_codes"]
             mean = data["binary_mean"]
@@ -555,9 +569,10 @@ class BinaryIndex(_Tombstones):
         idx.dim = int(mean.shape[0])
         idx.keys = keys
         idx.asym = asym
+        idx.mesh = mesh
         idx.codec = BinaryCodec(mean=jnp.asarray(mean),
                                 proj=jnp.asarray(proj))
-        idx._codes = pad_for_search(jnp.asarray(codes))
+        idx._set_codes(jnp.asarray(codes))
         return idx
 
 

@@ -253,6 +253,77 @@ class TestBinaryIndex:
             idx.search(q, k=len(db) + 1)
 
 
+class TestShardedBinary:
+    """8-device virtual CPU mesh: the hamming tier's SPMD path."""
+
+    @pytest.fixture
+    def mesh(self):
+        import jax
+
+        from dirjax.parallel import make_mesh
+        return make_mesh(data=1, db=8, devices=jax.devices()[:8])
+
+    def test_sym_values_match_single_device(self, rng, mesh):
+        from dirjax.parallel import shard_codes_binary, sharded_hamming_topk
+
+        dbp = _rand_codes(rng, 999, 2)        # ragged: pads to 8*128
+        qp = jnp.asarray(_rand_codes(rng, 5, 2))
+        codes_sh, n = shard_codes_binary(jnp.asarray(dbp), mesh)
+        vals, idxs = sharded_hamming_topk(qp, codes_sh, 12, mesh, n)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        oracle = _oracle_sims(np.asarray(qp), dbp)
+        expect = -np.sort(-oracle, axis=1)[:, :12]
+        np.testing.assert_array_equal(vals.astype(np.int64), expect)
+        assert int(idxs.max()) < 999
+        got = np.take_along_axis(oracle, idxs, axis=1)
+        np.testing.assert_array_equal(got, vals.astype(np.int64))
+
+    def test_asym_full_rerank_matches_exact_rescore(self, clustered, mesh):
+        """rerank deep enough to cover every shard row -> the merged asym
+        top-k must equal the brute-force asymmetric scores."""
+        from dirjax.ops.binary import (binarize, fit_itq, project_queries,
+                                       unpack_pm1)
+        from dirjax.parallel import shard_codes_binary, sharded_hamming_topk
+
+        db, q = clustered[:2]
+        codec = fit_itq(db, iters=3, sample=None)
+        codes = binarize(db, codec)
+        codes_sh, n = shard_codes_binary(codes, mesh)
+        vq = project_queries(q, codec)
+        qp = binarize(jnp.asarray(q), codec)
+        vals, idxs = sharded_hamming_topk(qp, codes_sh, 10, mesh, n,
+                                          vq=vq, rerank_factor=100)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        full = np.asarray(vq) @ np.asarray(unpack_pm1(codes)).T
+        np.testing.assert_allclose(vals, -np.sort(-full, axis=1)[:, :10],
+                                   rtol=1e-5)
+        got = np.take_along_axis(full, idxs, axis=1)
+        np.testing.assert_allclose(got, vals, rtol=1e-5)
+
+    def test_binary_index_mesh_matches_single(self, clustered, mesh):
+        db, q = clustered[:2]
+        single = BinaryIndex(db, itq_iters=3, sample=None, seed=1)
+        shard = BinaryIndex(db, itq_iters=3, sample=None, seed=1, mesh=mesh)
+        sv, _ = single.search(q, k=7, rerank_factor=100)
+        mv, mi = shard.search(q, k=7, rerank_factor=100)
+        # deep rerank -> identical continuous score sets (ties may permute)
+        np.testing.assert_allclose(sv, mv, rtol=1e-5)
+        assert int(np.asarray(mi).max()) < len(db)
+
+    def test_mesh_add_remove_compact(self, clustered, mesh):
+        db, q = clustered[:2]
+        idx = BinaryIndex(db[:500], itq_iters=2, sample=None, mesh=mesh)
+        idx.add(db[500:])
+        assert idx.n == 800
+        _, ids = idx.search(q, k=5)
+        top = [int(r[0]) for r in ids]
+        idx.remove(indices=top)
+        idx.compact()
+        assert idx.n == 800 - len(set(top))
+        v, i = idx.search(q, k=5, rerank_factor=200)
+        assert int(np.asarray(i).max()) < idx.n
+
+
 class TestTuning:
     def test_tune_sweeps_rerank_factor(self, clustered):
         from dirjax.tuning import tune
