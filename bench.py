@@ -301,11 +301,191 @@ def bench_ivf_device_qps(n_db_slabs: int = 249_856, nlist: int = 4096,
     return nq / sec
 
 
-def bench_train_step(n_iter: int = 8, batch: int = 16, size: int = 224):
+def check_binary_exact(n: int = 4096, n_bits: int = 512, nq: int = 8,
+                       k: int = 10) -> bool:
+    """On-chip exactness gate for the binary tier: hamming_topk VALUES
+    must match a brute-force ±1-matmul oracle bitwise, and asym_rescore
+    must match a dense rescore of the same shortlist. Runs before the
+    binary throughput benches — this toolchain silently miscompiles some
+    lane ops (CLAUDE.md), so 'passes on CPU' is not validation for
+    ``population_count``/XOR reductions."""
+    from dirjax.ops.binary import asym_rescore, hamming_topk, unpack_pm1
+
+    w = n_bits // 32
+    codes = jax.random.bits(jax.random.PRNGKey(0), (n, w), jnp.uint32)
+    qc = jax.random.bits(jax.random.PRNGKey(1), (nq, w), jnp.uint32)
+    vals, idxs = hamming_topk(qc, codes, k)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+    dbs = unpack_pm1(codes)
+    sims = jnp.matmul(unpack_pm1(qc), dbs.T,
+                      precision=jax.lax.Precision.HIGHEST)
+    ovals, _ = jax.lax.top_k(sims, k)
+    if not np.array_equal(vals, np.asarray(ovals)):
+        return False
+    vq = jax.random.normal(jax.random.PRNGKey(2), (nq, n_bits), jnp.float32)
+    avals, _ = asym_rescore(vq, codes, jnp.asarray(idxs), k)
+    dense = np.asarray(jnp.matmul(vq, dbs.T,
+                                  precision=jax.lax.Precision.HIGHEST))
+    sel = np.take_along_axis(dense, idxs, axis=1)
+    want = -np.sort(-sel, axis=1)[:, :k]
+    return bool(np.allclose(np.asarray(avals), want, rtol=1e-5, atol=1e-4))
+
+
+def bench_binary_qps(n_db: int = 1_000_000, n_bits: int = 2048,
+                     nq: int = 256, k: int = 100, n_iter: int = 6,
+                     asym: bool = False, _cache={}):
+    """Binary-hash serving throughput: packed-sign-code Hamming ranking
+    (256 B/row at 2048 bits — 8x the int8 corpus per chip). Codes are
+    random uint32 words (Hamming cost is independent of code content).
+    ``asym=True`` adds the asymmetric float rescore of the Hamming
+    shortlist — the higher-recall serving mode. Same eager back-to-back
+    dispatch pattern as :func:`bench_ranking_qps`."""
+    from dirjax.ops.binary import asym_rescore, hamming_topk, pad_for_search
+
+    w = n_bits // 32
+    ck = (n_db, w)
+    if ck not in _cache:
+        _cache.clear()
+        _cache[ck] = pad_for_search(
+            jax.random.bits(jax.random.PRNGKey(2), (n_db, w), jnp.uint32))
+    codes = _cache[ck]
+    qcs = [jax.random.bits(jax.random.PRNGKey(10 + j), (nq, w), jnp.uint32)
+           for j in range(n_iter)]
+    vqs = [jax.random.normal(jax.random.PRNGKey(40 + j), (nq, n_bits),
+                             jnp.float32) for j in range(n_iter)]
+
+    def rank(qc_, vq_):
+        vals, idxs = hamming_topk(qc_, codes, k, n_valid=n_db)
+        if asym:
+            vals, idxs = asym_rescore(vq_, codes, idxs, k)
+        return vals
+
+    _sync(rank(qcs[0], vqs[0]))  # compile + warm
+    _sync(rank(qcs[1], vqs[1]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for qc_, vq_ in zip(qcs, vqs):
+            vals = rank(qc_, vq_)
+        _sync(vals)
+        best = min(best, time.perf_counter() - t0)
+    return nq / (best / n_iter)
+
+
+def bench_binary_device_qps(n_db: int = 1_000_000, n_bits: int = 2048,
+                            nq: int = 256, k: int = 100, n_iter: int = 8):
+    """Pure device-time Hamming throughput (chained-fori two-point slope)
+    — the production-host ceiling once the ~3-5 ms tunnel dispatch cost
+    is out of the way."""
+    from dirjax.ops.binary import _hamming_topk_impl, pad_for_search
+
+    w = n_bits // 32
+    codes = pad_for_search(
+        jax.random.bits(jax.random.PRNGKey(2), (n_db, w), jnp.uint32))
+    qc = jax.random.bits(jax.random.PRNGKey(3), (nq, w), jnp.uint32)
+    chunk = codes.shape[0] if codes.shape[0] < 32768 else 32768
+
+    def rank(qc_, codes_):
+        vals, _ = _hamming_topk_impl(qc_, codes_, jnp.int32(n_db), k,
+                                     128, chunk)
+        return vals
+
+    # the feedback term is fp-added to uint32 queries — cast via the loop
+    # harness is uint-unfriendly, so wrap: perturb one word by xor of a
+    # data-dependent bit instead
+    def fn(qfloat, codes_):
+        qc_ = qc ^ qfloat.astype(jnp.uint32)
+        return rank(qc_, codes_).astype(jnp.float32)
+
+    sec = _timed_loop(fn, (jnp.zeros((nq, w), jnp.float32), codes), n_iter)
+    return nq / sec
+
+
+def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
+                     n_clients: int = 16, rows_per_req: int = 16,
+                     n_req: int = 96, k: int = 100):
+    """End-to-end index-server throughput: N client threads, each with
+    its own socket, firing ``rows_per_req``-row requests at an
+    IndexServer over a Unix socket; the DynamicBatcher coalesces them
+    into 256-row device dispatches. THE number that justifies the
+    server's existence: socket-to-socket QPS vs the in-process eager
+    number and the device-slope ceiling (PERF_NOTES). Returns
+    ``(qps, latency_stats_dict)``."""
+    import tempfile
+    import threading
+
+    from dirjax.server import Client, IndexServer
+    from dirjax.serving import PQIndex, RetrievalIndex
+
+    dim = 2048
+    if kind == "pq":
+        m, ksub = 32, 16
+        codes = jax.random.randint(jax.random.PRNGKey(3), (n_db, m), 0,
+                                   ksub, jnp.uint8)
+        cbs = jax.random.normal(jax.random.PRNGKey(4), (m, ksub, dim // m),
+                                jnp.float32)
+        index = PQIndex.from_codes(cbs, codes, compute_dtype=jnp.bfloat16)
+    else:
+        db = jax.random.normal(jax.random.PRNGKey(2), (n_db, dim),
+                               jnp.bfloat16)
+        index = RetrievalIndex(db, dtype=jnp.bfloat16)
+
+    path = tempfile.mktemp(prefix="dirjax-bench-", suffix=".sock")
+    server = IndexServer(index, path, max_batch=256, max_wait_ms=4.0)
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+
+    rng = np.random.default_rng(0)
+    queries = rng.standard_normal((rows_per_req, dim), np.float32)
+    # warm every nq bucket the batcher can emit for this load (1 remainder
+    # dispatch is possible) + compile the 256-row path
+    warm = Client(path)
+    warm.search(rng.standard_normal((256, dim), np.float32), k=k)
+    warm.search(queries, k=k)
+
+    start = threading.Barrier(n_clients + 1)
+    done = []
+
+    def client_loop():
+        c = Client(path)
+        start.wait()
+        for _ in range(n_req):
+            c.search(queries, k=k)
+        done.append(time.perf_counter())
+        c.close()
+
+    threads = [threading.Thread(target=client_loop, daemon=True)
+               for _ in range(n_clients)]
+    for t in threads:
+        t.start()
+    start.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    elapsed = max(done) - t0
+    lat = server.batcher.latency_stats()
+    warm.shutdown_server()
+    st.join(timeout=10)
+    qps = n_clients * n_req * rows_per_req / elapsed
+    return qps, lat
+
+
+V5E_PEAK_BF16_FLOPS = 197e12   # one v5e chip, bf16 MXU peak
+
+
+def bench_train_step(n_iter: int = 8, batch: int = 16, size: int = 224,
+                     microbatch: int = 0, with_mfu: bool = False):
     """Fine-tuning throughput: listwise-AP train steps (R101-GeM, Adam,
     bf16 compute — the BASELINE configs[4] recipe shape). The reference
     ships no trainer at all; this pins the dirjax trainer's device cost
     in the artifact.
+
+    ``microbatch>0`` measures the two-pass memory-bounded step (exact
+    listwise grads at O(microbatch) activations — the path a realistic
+    large-crop fine-tune uses). ``with_mfu=True`` additionally returns
+    the XLA cost-analysis FLOPs of one compiled step and the implied
+    model-FLOPs utilization against the v5e bf16 peak — the honest
+    hardware count (it includes the two-pass recompute).
 
     Unlike ``_timed_loop`` this compiles ONE loop with a *dynamic* trip
     count (``lax.fori_loop`` with a traced bound lowers to while_loop):
@@ -319,12 +499,18 @@ def bench_train_step(n_iter: int = 8, batch: int = 16, size: int = 224):
     from dirjax.models import create_model
     from dirjax.train import TrainConfig, make_train_step
 
-    cfg = TrainConfig(batch_size=batch, image_size=size, loss="ap")
+    cfg = TrainConfig(batch_size=batch, image_size=size, loss="ap",
+                      microbatch=microbatch)
     model = create_model(cfg.arch)
     params = model.init(jax.random.PRNGKey(0))
     tx = optax.adam(cfg.learning_rate)
     opt_state = tx.init(params)
-    step = make_train_step(model, cfg, tx, dtype=jnp.bfloat16)
+    if microbatch:
+        from dirjax.train import make_two_pass_train_step
+
+        step = make_two_pass_train_step(model, cfg, tx, dtype=jnp.bfloat16)
+    else:
+        step = make_train_step(model, cfg, tx, dtype=jnp.bfloat16)
     images = jax.random.normal(jax.random.PRNGKey(1),
                                (batch, size, size, 3), jnp.float32)
     labels = jnp.asarray(np.repeat(np.arange(batch // 4), 4))
@@ -355,7 +541,23 @@ def bench_train_step(n_iter: int = 8, batch: int = 16, size: int = 224):
 
     t_lo, t_hi = best_of(n_lo), best_of(n_hi)
     sec = (t_hi - t_lo) / (n_hi - n_lo)
-    return batch / sec
+    if not with_mfu:
+        return batch / sec
+    try:
+        # AOT cost analysis of ONE compiled step (the loop above has a
+        # dynamic trip count, which cost analysis can't integrate over)
+        comp = jax.jit(step).lower(params, opt_state, images,
+                                   labels).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+    except Exception:
+        flops = float("nan")
+    return {"img_per_sec": batch / sec,
+            "step_ms": sec * 1e3,
+            "gflops_per_step": flops / 1e9,
+            "mfu": (flops / sec) / V5E_PEAK_BF16_FLOPS}
 
 
 def bench_head_ms(n_iter: int = 20):
@@ -468,15 +670,75 @@ def main():
         extras["ivf_100M_error"] = str(e)[:120]
 
     try:
+        # binary-hash tier: exactness gate FIRST (population_count/XOR
+        # reductions had never run on real TPU before r4), then QPS
+        ok = check_binary_exact()
+        extras["binary_exact_vs_oracle"] = bool(ok)
+        if ok:
+            extras["binary_qps_1M_2048b_nq256"] = round(
+                bench_binary_qps(), 1)
+            extras["binary_qps_1M_2048b_nq64"] = round(
+                bench_binary_qps(nq=64), 1)
+            extras["binary_asym_qps_1M_2048b_nq256"] = round(
+                bench_binary_qps(asym=True), 1)
+            # capacity: 16M rows in 4 GB of codes (8x the int8 ceiling)
+            extras["binary_qps_16M_2048b_nq256"] = round(
+                bench_binary_qps(n_db=16_000_000, n_iter=4), 1)
+    except Exception as e:
+        extras["binary_error"] = str(e)[:120]
+    finally:
+        bench_binary_qps.__defaults__[-1].clear()
+
+    try:
+        extras["binary_qps_device_1M_2048b_nq256"] = round(
+            bench_binary_device_qps(), 1)
+    except Exception as e:
+        extras["binary_device_error"] = str(e)[:120]
+
+    try:
+        # socket-to-socket serving: 16 client threads x 16-row requests
+        # coalesced by the DynamicBatcher into 256-row device dispatches
+        qps, lat = bench_server_qps(kind="pq")
+        extras["server_qps_pq_1M_16cl_16rows"] = round(qps, 1)
+        for p in ("p50_ms", "p99_ms"):
+            if p in lat:
+                extras[f"server_pq_{p}"] = round(lat[p], 2)
+    except Exception as e:
+        extras["server_pq_error"] = str(e)[:120]
+
+    try:
+        qps, lat = bench_server_qps(kind="bf16", n_req=48)
+        extras["server_qps_bf16_1M_16cl_16rows"] = round(qps, 1)
+        for p in ("p50_ms", "p99_ms"):
+            if p in lat:
+                extras[f"server_bf16_{p}"] = round(lat[p], 2)
+    except Exception as e:
+        extras["server_bf16_error"] = str(e)[:120]
+
+    try:
         extras["fused_head_ms"] = round(bench_head_ms(), 3)
     except Exception as e:
         extras["head_error"] = str(e)[:120]
 
     try:
+        tr = bench_train_step(with_mfu=True)
         extras["train_img_per_sec_r101_224_ap_bf16"] = round(
-            bench_train_step(), 2)
+            tr["img_per_sec"], 2)
+        extras["train_mfu_r101_224_b16"] = round(tr["mfu"], 3)
     except Exception as e:
         extras["train_error"] = str(e)[:120]
+
+    try:
+        # realistic fine-tune shape: 512^2 crops, batch 32, two-pass
+        # microbatch 8 (the memory-bounded path a large-crop AP recipe
+        # actually runs)
+        tr = bench_train_step(n_iter=4, batch=32, size=512, microbatch=8,
+                              with_mfu=True)
+        extras["train_img_per_sec_r101_512_b32_mb8_ap_bf16"] = round(
+            tr["img_per_sec"], 2)
+        extras["train_mfu_r101_512_b32_mb8"] = round(tr["mfu"], 3)
+    except Exception as e:
+        extras["train_512_error"] = str(e)[:120]
 
     extras["bench_wallclock_s"] = round(time.time() - t_start, 1)
     extras["backend"] = jax.default_backend()

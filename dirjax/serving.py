@@ -171,7 +171,11 @@ class RetrievalIndex(_Tombstones):
 
     def __init__(self, descriptors, keys: Optional[Sequence[str]] = None,
                  mesh=None, dtype=jnp.float32):
-        descriptors = np.asarray(descriptors)
+        if not isinstance(descriptors, jax.Array):
+            # device arrays pass straight through: descriptors fresh out of
+            # (sharded) extraction must not round-trip through the host
+            # (the dev tunnel moves ~8 MB/s — CLAUDE.md)
+            descriptors = np.asarray(descriptors)
         assert descriptors.ndim == 2, "descriptors must be (N, D)"
         self.n = descriptors.shape[0]
         self.dim = descriptors.shape[1]
@@ -653,6 +657,42 @@ class PQIndex(_Tombstones):
 
     m = property(lambda self: int(self.codebooks.shape[0]))
     ksub = property(lambda self: int(self.codebooks.shape[1]))
+
+    @classmethod
+    def from_codes(cls, codebooks, codes, *,
+                   keys: Optional[Sequence[str]] = None, rotation=None,
+                   mesh=None, compute_dtype=None) -> "PQIndex":
+        """Build an index from PRE-ENCODED rows: ``codebooks`` (m, ksub,
+        dim/m) from :func:`dirjax.ops.train_pq` and ``codes`` (n, m) uint8
+        from :func:`dirjax.ops.encode_pq` — e.g. a corpus encoded on the
+        extraction fleet, or codes loaded device-side. Skips training and
+        never round-trips the corpus through the host. ``rerank`` storage
+        is unavailable in this path (it needs the original rows — use
+        ``add`` or the training constructor)."""
+        self = cls.__new__(cls)
+        self.compute_dtype = compute_dtype
+        self.codebooks = jnp.asarray(codebooks, jnp.float32)
+        self.rotation = None if rotation is None \
+            else jnp.asarray(rotation, jnp.float32)
+        m, _, dsub = self.codebooks.shape
+        assert codes.ndim == 2 and codes.shape[1] == m, \
+            f"codes must be (n, {m}), got {codes.shape}"
+        self.n = int(codes.shape[0])
+        self.dim = int(m * dsub)
+        self.keys = list(keys) if keys is not None else None
+        if self.keys is not None:
+            assert len(self.keys) == self.n
+        self.mesh = mesh
+        self._rerank_db = self._rerank_scales = None
+        if not isinstance(codes, jax.Array):
+            codes = jnp.asarray(codes)
+        if mesh is None:
+            self._codes = codes
+        else:
+            from .parallel.ranking import shard_codes
+
+            self._codes, self._n_valid = shard_codes(codes, mesh)
+        return self
 
     def _encode(self, rows):
         rows = jnp.asarray(rows, jnp.float32)

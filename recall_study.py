@@ -1,0 +1,291 @@
+"""Realistic recall study for the compressed serving tiers (round 4).
+
+The compressed tiers (int8 / PQ / OPQ / IVF-PQ / binary-ITQ) had their
+recall measured only on a brutal synthetic (PERF_NOTES IVF section). This
+study grades them on descriptors with a REALISTIC spectrum: the actual
+R101-GeM head run over generated structured images, PCA-whitened
+(whitenp=0.5) and L2-normalized — the exact serving pipeline
+(``/root/reference/dirtorch/test_dir.py`` applies the same whiten+norm
+before ranking). Offline-feasible by construction: no dataset, no egress.
+
+Stage 1 (TPU or CPU) — ``python recall_study.py extract``:
+    generate ``--n-db`` structured images (random gradient background +
+    gaussian blobs + sinusoidal texture), plus ``--n-q`` query views
+    (random crop/flip/photometric jitter of db images, so every query has
+    a true near-duplicate among many same-statistics distractors), run
+    the R101-GeM descriptor head, fit+apply PCA whitening, save
+    ``recall_descs.npz``.
+
+Stage 2 (CPU) — ``python recall_study.py evaluate``:
+    build every serving tier on the saved descriptors, measure recall@k
+    vs the exact dot-product ranking, sweep each tier's knobs, validate
+    ``dirjax.tuning.tune`` recommendations on HELD-OUT queries, and write
+    ``RECALL_r04.json`` (source for the PERF_NOTES recall table).
+
+The backbone is randomly initialized (no pretrained weights exist in this
+sandbox) — random-CNN GeM descriptors still have the front-loaded PCA
+spectrum and query/db correlation structure that synthetic gaussians
+lack, which is what PQ/OPQ/ITQ recall depends on.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+DESC_FILE = "recall_descs.npz"
+OUT_FILE = "RECALL_r04.json"
+
+
+# --------------------------------------------------------------------------
+# stage 1: image synthesis + descriptor extraction
+# --------------------------------------------------------------------------
+
+def _scene_batch(key, n, h, w):
+    """Structured random scenes on device: low-frequency color gradient +
+    8 random gaussian blobs + oriented sinusoid + pixel noise."""
+    import jax
+    import jax.numpy as jnp
+
+    ks = jax.random.split(key, 6)
+    yy = jnp.linspace(0.0, 1.0, h)[None, :, None, None]
+    xx = jnp.linspace(0.0, 1.0, w)[None, None, :, None]
+    # gradient background: c0 + c1*y + c2*x per channel
+    g = jax.random.uniform(ks[0], (n, 1, 1, 3, 3))
+    img = g[..., 0] + g[..., 1] * yy + g[..., 2] * xx
+    # gaussian blobs
+    nb = 8
+    bc = jax.random.uniform(ks[1], (n, nb, 2))            # centers (y, x)
+    bs = jax.random.uniform(ks[2], (n, nb, 1), minval=0.02, maxval=0.15)
+    bcol = jax.random.uniform(ks[3], (n, nb, 3), minval=-0.8, maxval=0.8)
+    d2 = ((yy[..., 0][..., None] - bc[:, None, None, :, 0]) ** 2
+          + (xx[..., 0][..., None] - bc[:, None, None, :, 1]) ** 2)
+    blob = jnp.exp(-d2 / (2 * bs[:, None, None, :, 0] ** 2))
+    img = img + jnp.einsum("nhwb,nbc->nhwc", blob, bcol)
+    # oriented sinusoid texture
+    th = jax.random.uniform(ks[4], (n, 1, 1, 1), maxval=np.pi)
+    fr = jax.random.uniform(ks[4], (n, 1, 1, 1), minval=4.0, maxval=40.0)
+    ph = jax.random.uniform(ks[5], (n, 1, 1, 1), maxval=2 * np.pi)
+    tex = 0.15 * jnp.sin(fr * (jnp.cos(th) * yy + jnp.sin(th) * xx) + ph)
+    img = img + tex
+    img = img + 0.02 * jax.random.normal(ks[5], (n, h, w, 3))
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def _query_views(key, imgs):
+    """Random crop-resize + flip + photometric jitter of source images —
+    the classic near-duplicate query model."""
+    import jax
+    import jax.numpy as jnp
+
+    n, h, w, _ = imgs.shape
+    ks = jax.random.split(key, 5)
+    scale = jax.random.uniform(ks[0], (n,), minval=0.7, maxval=0.92)
+    oy = jax.random.uniform(ks[1], (n,)) * (1.0 - scale)
+    ox = jax.random.uniform(ks[2], (n,)) * (1.0 - scale)
+
+    # bilinear sample a scaled window back to (h, w) — per-image map_coords
+    yy = jnp.linspace(0.0, 1.0, h)
+    xx = jnp.linspace(0.0, 1.0, w)
+
+    def crop_one(img, s, oy_, ox_, flip):
+        ys = (oy_ + yy * s) * (h - 1)
+        xs = (ox_ + xx * s) * (w - 1)
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
+        wy = (ys - y0)[:, None, None]
+        wx = (xs - x0)[None, :, None]
+        p00 = img[y0][:, x0]
+        p01 = img[y0][:, x0 + 1]
+        p10 = img[y0 + 1][:, x0]
+        p11 = img[y0 + 1][:, x0 + 1]
+        out = (p00 * (1 - wy) * (1 - wx) + p01 * (1 - wy) * wx
+               + p10 * wy * (1 - wx) + p11 * wy * wx)
+        return jnp.where(flip, out[:, ::-1], out)
+
+    flips = jax.random.bernoulli(ks[3], 0.5, (n,))
+    out = jax.vmap(crop_one)(imgs, scale, oy, ox, flips)
+    bright = jax.random.uniform(ks[4], (n, 1, 1, 1), minval=0.85,
+                                maxval=1.15)
+    return jnp.clip(out * bright, 0.0, 1.0)
+
+
+def extract(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import os
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    from dirjax.models import create_model
+    from dirjax.models.rmac import apply_descriptor
+    from dirjax.ops.whitening import apply_whitening, fit_pca_device
+
+    h, w = args.size, args.size
+    model = create_model("resnet101_rmac")
+    params = model.init(jax.random.PRNGKey(7))
+    cfg = model.config
+
+    @jax.jit
+    def extract_batch(key, params):
+        imgs = _scene_batch(key, args.batch, h, w)
+        return imgs, apply_descriptor(params, imgs, cfg,
+                                      dtype=jnp.bfloat16)
+
+    @jax.jit
+    def extract_query_batch(key, imgs, params):
+        qimgs = _query_views(key, imgs)
+        return apply_descriptor(params, qimgs, cfg, dtype=jnp.bfloat16)
+
+    descs, q_descs, src_rows = [], [], []
+    nb = args.n_db // args.batch
+    nqb = args.n_q // args.batch
+    for i in range(nb):
+        key = jax.random.PRNGKey(1000 + i)
+        imgs, d = extract_batch(key, params)
+        descs.append(d)
+        if i < nqb:   # queries are jittered views of the first batches
+            q_descs.append(extract_query_batch(
+                jax.random.PRNGKey(5000 + i), imgs, params))
+            src_rows.extend(range(i * args.batch, (i + 1) * args.batch))
+        if (i + 1) % 8 == 0:
+            print(f"extracted {(i + 1) * args.batch}/{args.n_db}",
+                  flush=True)
+    db = jnp.concatenate(descs).astype(jnp.float32)
+    qd = jnp.concatenate(q_descs).astype(jnp.float32)
+
+    # serving pipeline: PCA-whiten (whitenp=0.5) + L2 norm
+    pca = fit_pca_device(db)
+    db_w = apply_whitening(db, pca, whitenp=0.5)
+    q_w = apply_whitening(qd, pca, whitenp=0.5)
+    np.savez(args.out, db=np.asarray(db_w), q=np.asarray(q_w),
+             src=np.asarray(src_rows, np.int64))
+    print(f"saved {db_w.shape} db / {q_w.shape} q -> {args.out}",
+          flush=True)
+
+
+# --------------------------------------------------------------------------
+# stage 2: tier-by-tier recall
+# --------------------------------------------------------------------------
+
+def evaluate(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from dirjax.serving import (BinaryIndex, IVFPQIndex, PQIndex,
+                                RetrievalIndex)
+    from dirjax.tuning import exact_ground_truth, recall_at_k, tune
+
+    data = np.load(args.descs)
+    db, q = data["db"], data["q"]
+    n, dim = db.shape
+    print(f"{n} x {dim} db, {len(q)} queries", flush=True)
+    ks = (1, 10, 100)
+    gt = {k: exact_ground_truth(q, db, k) for k in ks}
+    # how often is the query's true source image the exact top-1? (sanity
+    # that the descriptor space is doing retrieval at all)
+    src_top1 = float(np.mean(gt[1][:, 0] == data["src"][:len(q)]))
+
+    results = {"n_db": int(n), "dim": int(dim), "n_q": int(len(q)),
+               "src_is_top1": round(src_top1, 4), "tiers": {}}
+
+    def grade(name, search_fn, note=""):
+        row = {}
+        for k in ks:
+            idxs = search_fn(k)
+            row[f"recall@{k}"] = round(recall_at_k(idxs, gt[k]), 4)
+        if note:
+            row["note"] = note
+        results["tiers"][name] = row
+        print(f"{name:34s} " + "  ".join(
+            f"R@{k}={row[f'recall@{k}']:.3f}" for k in ks), flush=True)
+
+    # --- int8 (and full-int8) --------------------------------------------
+    i8 = RetrievalIndex(db, dtype=jnp.int8)
+    grade("int8", lambda k: i8.search(q, k=k)[1])
+    grade("int8_w8q", lambda k: i8.search(q, k=k, int8_queries=True)[1],
+          note="queries quantized too (fastest mode)")
+
+    # --- PQ / OPQ ---------------------------------------------------------
+    for m, ksub, tag in ((32, 16, "pq_m32k16"), (16, 256, "pq_m16k256")):
+        pq = PQIndex(db, m=m, ksub=ksub, seed=0, train_iters=10)
+        grade(tag, lambda k, pq=pq: pq.search(q, k=k)[1])
+    opq = PQIndex(db, m=32, ksub=16, opq=True, seed=0, train_iters=10)
+    grade("opq_m32k16", lambda k: opq.search(q, k=k)[1])
+    pqr = PQIndex(db, m=32, ksub=16, rerank=True, seed=0, train_iters=10)
+    for rf in (2, 4, 8):
+        grade(f"pq_m32k16_rerank{rf}",
+              lambda k, rf=rf: pqr.search(q, k=k, rerank_factor=rf)[1],
+              note="int8 exact rescore of rf*k ADC candidates")
+
+    # --- IVF-PQ -----------------------------------------------------------
+    nlist = max(16, int(np.sqrt(n)))
+    ivf = IVFPQIndex(db, nlist=nlist, m=32, ksub=16, seed=0,
+                     train_iters=10)
+    for nprobe in (1, 4, 16, nlist):
+        grade(f"ivf_nlist{nlist}_nprobe{nprobe}",
+              lambda k, p=nprobe: ivf.search(q, k=k, nprobe=p)[1])
+
+    # --- binary ITQ -------------------------------------------------------
+    for bits in (512, 2048):
+        nb = min(bits, (dim // 32) * 32)
+        # the 2048-bit rotation is a 2048^2 SVD per ITQ iter — 5 iters is
+        # near-converged and keeps the CPU stage tractable on one core
+        bi = BinaryIndex(db, n_bits=nb, asym=True, seed=0,
+                         itq_iters=30 if bits <= 512 else 5)
+        sym = BinaryIndex(db, _codec=bi.codec, asym=False)
+        grade(f"itq{bits}_hamming",
+              lambda k, sym=sym: sym.search(q, k=k)[1])
+        grade(f"itq{bits}_asym_rf4",
+              lambda k, bi=bi: bi.search(q, k=k, rerank_factor=4)[1],
+              note="asymmetric float rescore of 4k Hamming candidates")
+
+    # --- tuner validation on held-out queries ----------------------------
+    half = len(q) // 2
+    tuned = tune(ivf, q[:half], descriptors=db, k=10, target=args.target)
+    held_idxs = ivf.search(q[half:], k=10, **tuned.params)[1]
+    held_recall = recall_at_k(held_idxs, gt[10][half:])
+    results["tuner"] = {
+        "index": f"ivf_nlist{nlist}", "target": args.target,
+        "params": tuned.params, "tune_recall": round(tuned.recall, 4),
+        "met": tuned.met, "heldout_recall": round(float(held_recall), 4),
+    }
+    print(f"tune(target={args.target}) -> {tuned.params} "
+          f"recall={tuned.recall:.3f} heldout={held_recall:.3f}",
+          flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pe = sub.add_parser("extract")
+    pe.add_argument("--n-db", type=int, default=16384)
+    pe.add_argument("--n-q", type=int, default=256)
+    pe.add_argument("--batch", type=int, default=32)
+    pe.add_argument("--size", type=int, default=224)
+    pe.add_argument("--cpu", action="store_true")
+    pe.add_argument("--out", default=DESC_FILE)
+    pe.set_defaults(fn=extract)
+    pv = sub.add_parser("evaluate")
+    pv.add_argument("--descs", default=DESC_FILE)
+    pv.add_argument("--target", type=float, default=0.9)
+    pv.add_argument("--out", default=OUT_FILE)
+    pv.set_defaults(fn=evaluate)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
