@@ -144,12 +144,15 @@ _RPB = 8
 
 def _score_dot(db_block, q_block):
     """The one contraction both phases share: DB rows x queries with fp32
-    accumulation. int8 DB rows feed the dot DIRECTLY (Mosaic fuses the
-    int8->bf16 convert into the MXU pipeline; bit-identical to an explicit
-    VPU widen and ~0.7 ms faster at 1M x 2048). Full-int8 (int8 x int8)
-    contracts on the int8 MXU into exact int32, then converts — both
-    phases convert identically, so the containment argument still sees
-    one consistent score per row."""
+    accumulation. int8 DB rows feed the dot DIRECTLY — bit-identical to
+    an explicit VPU widen and ~0.7 ms faster at 1M x 2048, because it
+    avoids a SEPARATE widen pass; Mosaic still stages a widened bf16
+    copy of the tile in VMEM (it is why the int8 tile-fit budget
+    reserves 2x the int8 bytes, and why this mode is convert-bound
+    rather than stream-bound — PERF_NOTES.md r4 phase-1 study).
+    Full-int8 (int8 x int8) contracts on the int8 MXU into exact int32,
+    then converts — both phases convert identically, so the containment
+    argument still sees one consistent score per row."""
     both_int = db_block.dtype == jnp.int8 and q_block.dtype == jnp.int8
     out = jax.lax.dot_general(
         db_block, q_block,
@@ -568,12 +571,25 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
     if tile_rows is None:
         bytes_per_row = db.shape[1] * db.dtype.itemsize
         tile_rows = max(256, (4 * 2 ** 20 // bytes_per_row) // 256 * 256)
-        if quantized:
-            # int8 rows stream small, but the kernel also holds a widened
-            # bf16 copy of the tile plus the fp32 score tile; fit the
-            # working set (double-buffered int8 tile + bf16 widened copy +
-            # transposed fp32 scores + q) into a ~12MB VMEM budget
-            # (tile 2048 at D=2048/nq=256 exceeds scoped vmem: measured).
+        if quantized and not quantize_queries:
+            # int8 rows with bf16 queries: Mosaic STAGES a widened bf16
+            # copy of the tile in VMEM before the dot (feeding int8
+            # directly still avoids a separate VPU pass, but the staging
+            # is why this mode is convert-bound, not stream-bound — the
+            # r4 phase-1 sweep in PERF_NOTES.md). Measured optima at
+            # 1M x 2048: nq>=128 -> 512 rows (6.80 ms vs 7.28 at 1024;
+            # 1280 exceeds scoped VMEM and WEDGES the compile helper),
+            # small nq -> 1280 (3.81 ms vs 5.06 at 1024 at nq=64).
+            q_bytes = q.shape[0] * db.shape[1] * 2
+            budget = 12 * 2 ** 20 - q_bytes
+            fit = budget // (4 * bytes_per_row + 4 * q.shape[0])
+            cap = 512 if q.shape[0] >= 128 else 1280
+            tile_rows = max(256, min(tile_rows, cap, fit // 256 * 256))
+        elif quantized:
+            # full-int8: no widened copy (the dot runs on the int8 MXU),
+            # but tile 1024 is the only setting measured safe — larger
+            # tiles are untested and an over-VMEM compile wedges the
+            # chip (CLAUDE.md), so keep the proven budget formula
             q_bytes = q.shape[0] * db.shape[1] * 2
             budget = 12 * 2 ** 20 - q_bytes
             fit = budget // (4 * bytes_per_row + 4 * q.shape[0])

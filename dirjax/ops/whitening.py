@@ -149,7 +149,16 @@ def apply_whitening(X, pca: PCAParams, whitenp: float = 0.5,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     if bool(pca.whiten):  # reference gates the scaling on the sklearn flag
-        Xt = Xt / (whitenm * jnp.power(var, whitenp))
+        # rank-deficient corpora (rank < D) have trailing eigenvalues
+        # clipped to 0 by the fit: dividing by 0^p poisons those columns
+        # with NaN, and near-0 ones amplify pure fit noise to unit
+        # variance. Zero the dead directions instead — the 1e-7 relative
+        # floor sits at the fp32 Gram-accumulation noise scale, far
+        # below any real descriptor spectrum's dynamic range.
+        floor = jnp.max(var) * 1e-7
+        scaled = Xt / (whitenm * jnp.power(jnp.maximum(var, floor),
+                                           whitenp))
+        Xt = jnp.where(var > floor, scaled, 0.0)
     return l2_normalize(Xt) if l2norm else Xt
 
 
@@ -160,7 +169,13 @@ def whitening_matrix(pca: PCAParams, whitenp: float = 0.5,
     comps = np.asarray(pca.components[:whitenv], dtype=np.float64)
     var = np.asarray(pca.variance[:whitenv], dtype=np.float64)
     if bool(pca.whiten):
-        scale = 1.0 / (whitenm * np.power(var, whitenp))
+        # same dead-direction guard as apply_whitening: zero-clipped
+        # eigenvalues of a rank-deficient fit must fold to a 0 column,
+        # not a NaN/noise-amplifying one
+        floor = float(var.max()) * 1e-7
+        scale = np.where(var > floor,
+                         1.0 / (whitenm * np.power(np.maximum(var, floor),
+                                                   whitenp)), 0.0)
     else:
         scale = np.ones_like(var)
     W = comps.T * scale[None, :]

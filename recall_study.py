@@ -125,7 +125,6 @@ def extract(args):
                       os.path.expanduser("~/.cache/jax_comp"))
     from dirjax.models import create_model
     from dirjax.models.rmac import apply_descriptor
-    from dirjax.ops.whitening import apply_whitening, fit_pca_device
 
     h, w = args.size, args.size
     model = create_model("resnet101_rmac")
@@ -159,14 +158,11 @@ def extract(args):
                   flush=True)
     db = jnp.concatenate(descs).astype(jnp.float32)
     qd = jnp.concatenate(q_descs).astype(jnp.float32)
-
-    # serving pipeline: PCA-whiten (whitenp=0.5) + L2 norm
-    pca = fit_pca_device(db)
-    db_w = apply_whitening(db, pca, whitenp=0.5)
-    q_w = apply_whitening(qd, pca, whitenp=0.5)
-    np.savez(args.out, db=np.asarray(db_w), q=np.asarray(q_w),
+    # save RAW descriptors — whitening runs in the evaluate stage (CPU),
+    # so whitening-path fixes never force a re-extraction
+    np.savez(args.out, db=np.asarray(db), q=np.asarray(qd),
              src=np.asarray(src_rows, np.int64))
-    print(f"saved {db_w.shape} db / {q_w.shape} q -> {args.out}",
+    print(f"saved raw {db.shape} db / {qd.shape} q -> {args.out}",
           flush=True)
 
 
@@ -180,12 +176,20 @@ def evaluate(args):
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from dirjax.ops.whitening import apply_whitening, fit_pca_device
     from dirjax.serving import (BinaryIndex, IVFPQIndex, PQIndex,
                                 RetrievalIndex)
     from dirjax.tuning import exact_ground_truth, recall_at_k, tune
 
     data = np.load(args.descs)
-    db, q = data["db"], data["q"]
+    # serving pipeline: PCA-whiten (whitenp=0.5) + L2 norm. Random-init
+    # descriptors are rank-deficient (rank ~1500 < 2048 here) — the
+    # zero-variance guard in apply_whitening keeps dead directions at 0.
+    pca = fit_pca_device(data["db"])
+    db = np.asarray(apply_whitening(data["db"], pca, whitenp=0.5))
+    q = np.asarray(apply_whitening(data["q"], pca, whitenp=0.5))
+    assert np.isfinite(db).all() and np.isfinite(q).all(), \
+        "whitened descriptors must be finite"
     n, dim = db.shape
     print(f"{n} x {dim} db, {len(q)} queries", flush=True)
     ks = (1, 10, 100)

@@ -80,6 +80,43 @@ def test_retrieval_index_accepts_device_array(corpus):
     np.testing.assert_allclose(va, vb, rtol=1e-6)
 
 
+def test_whitening_rank_deficient_is_finite():
+    """Rank-deficient corpora (rank < D) have zero-clipped trailing
+    eigenvalues; whitening must zero those directions, not divide by
+    zero (found via the r4 recall study: 530 NaN columns)."""
+    from dirjax.ops.whitening import (apply_whitening, fit_pca_device,
+                                      whitening_matrix)
+
+    rng = np.random.default_rng(0)
+    basis = rng.standard_normal((12, 64)).astype(np.float32)
+    x = rng.standard_normal((300, 12)).astype(np.float32) @ basis  # rank 12
+    pca = fit_pca_device(x)
+    out = np.asarray(apply_whitening(x, pca, whitenp=0.5))
+    assert np.isfinite(out).all()
+    # dead directions contribute nothing: rows still rank by the live ones
+    assert np.abs(out).sum() > 0
+    w, b = whitening_matrix(pca, whitenp=0.5)
+    assert np.isfinite(w).all() and np.isfinite(b).all()
+    folded = x @ w + b
+    folded /= np.linalg.norm(folded, axis=1, keepdims=True)
+    np.testing.assert_allclose(folded, out, atol=2e-4)
+
+
+def test_whitening_full_rank_unchanged_by_guard():
+    """The dead-direction floor must not perturb healthy spectra."""
+    from dirjax.ops.whitening import apply_whitening, fit_pca_device
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((300, 32)).astype(np.float32)
+    pca = fit_pca_device(x)
+    out = np.asarray(apply_whitening(x, pca, whitenp=0.5))
+    # plain reimplementation without any guard
+    xt = (x - pca.mean) @ pca.components.T
+    ref = xt / np.power(pca.variance, 0.5)
+    ref /= np.linalg.norm(ref, axis=1, keepdims=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_retrieval_index_device_array_int8(corpus):
     dev = jnp.asarray(corpus)
     a = RetrievalIndex(dev, dtype=jnp.int8)
