@@ -16,6 +16,17 @@ walks (nprobe, rerank_factor) in lexicographic cost order and stops at
 the first configuration that reaches the target. Timing-based tuning
 through the tunnel would measure dispatch overhead, not kernels
 (CLAUDE.md) — structural order is the honest proxy.
+
+Expectations to bring to a tuning run (measured on real R101-GeM
+descriptor spectra — ``recall_study.py`` / RECALL_r04.json / PERF_NOTES
+"Recall on realistic descriptor spectra"): int8 is near-lossless; 32-64 B
+PQ/OPQ/IVF codebooks collapse on flat (whitened random-init) spectra and
+NO knob setting rescues them — ``tune`` then honestly returns
+``met=False`` with best-effort knobs; ITQ-2048 asym holds R@10 ≈ 0.6 on
+the same worst case; and PQ after a ``whitenv`` dim reduction tunes to
+target against its own space's exact oracle. A ``met=False`` result is a
+signal to change TIER (or reduce dims first), not to re-run with a wider
+grid.
 """
 
 from __future__ import annotations
