@@ -303,13 +303,16 @@ def bench_ivf_device_qps(n_db_slabs: int = 249_856, nlist: int = 4096,
 
 def check_binary_exact(n: int = 4096, n_bits: int = 512, nq: int = 8,
                        k: int = 10) -> bool:
-    """On-chip exactness gate for the binary tier: hamming_topk VALUES
+    """On-chip exactness gate for the binary tier: BOTH ranking paths'
+    VALUES (the popcount scan and the Pallas MXU unpack-matmul kernel)
     must match a brute-force ±1-matmul oracle bitwise, and asym_rescore
     must match a dense rescore of the same shortlist. Runs before the
     binary throughput benches — this toolchain silently miscompiles some
     lane ops (CLAUDE.md), so 'passes on CPU' is not validation for
-    ``population_count``/XOR reductions."""
-    from dirjax.ops.binary import asym_rescore, hamming_topk, unpack_pm1
+    ``population_count``/XOR reductions or a new Mosaic kernel."""
+    from dirjax.ops.binary import (asym_rescore, bytes_for_search,
+                                   hamming_topk, hamming_topk_mxu,
+                                   unpack_pm1)
 
     w = n_bits // 32
     codes = jax.random.bits(jax.random.PRNGKey(0), (n, w), jnp.uint32)
@@ -322,6 +325,9 @@ def check_binary_exact(n: int = 4096, n_bits: int = 512, nq: int = 8,
     ovals, _ = jax.lax.top_k(sims, k)
     if not np.array_equal(vals, np.asarray(ovals)):
         return False
+    mvals, _ = hamming_topk_mxu(qc, bytes_for_search(codes), k, n_valid=n)
+    if not np.array_equal(np.asarray(mvals), np.asarray(ovals)):
+        return False
     vq = jax.random.normal(jax.random.PRNGKey(2), (nq, n_bits), jnp.float32)
     avals, _ = asym_rescore(vq, codes, jnp.asarray(idxs), k)
     dense = np.asarray(jnp.matmul(vq, dbs.T,
@@ -333,21 +339,33 @@ def check_binary_exact(n: int = 4096, n_bits: int = 512, nq: int = 8,
 
 def bench_binary_qps(n_db: int = 1_000_000, n_bits: int = 2048,
                      nq: int = 256, k: int = 100, n_iter: int = 6,
-                     asym: bool = False, _cache={}):
+                     asym: bool = False, method: str = "mxu", _cache={}):
     """Binary-hash serving throughput: packed-sign-code Hamming ranking
     (256 B/row at 2048 bits — 8x the int8 corpus per chip). Codes are
-    random uint32 words (Hamming cost is independent of code content).
-    ``asym=True`` adds the asymmetric float rescore of the Hamming
-    shortlist — the higher-recall serving mode. Same eager back-to-back
-    dispatch pattern as :func:`bench_ranking_qps`."""
-    from dirjax.ops.binary import asym_rescore, hamming_topk, pad_for_search
+    random words (Hamming cost is independent of code content).
+    ``method="mxu"`` is the serving path (Pallas unpack-matmul kernel,
+    what BinaryIndex dispatches on TPU); ``"scan"`` is the XLA popcount
+    fallback, kept as a labeled comparison metric. ``asym=True`` adds the
+    asymmetric float rescore of the Hamming shortlist — the higher-recall
+    serving mode. Same eager back-to-back dispatch pattern as
+    :func:`bench_ranking_qps`."""
+    from dirjax.ops.binary import (asym_rescore, bytes_for_search,
+                                   hamming_topk, hamming_topk_mxu)
 
     w = n_bits // 32
     ck = (n_db, w)
     if ck not in _cache:
         _cache.clear()
-        _cache[ck] = pad_for_search(
-            jax.random.bits(jax.random.PRNGKey(2), (n_db, w), jnp.uint32))
+        # byte layout, built chunk-wise: random.bits materializes a 32-bit
+        # random per OUTPUT ELEMENT, so a single (16M, 256) uint8 draw
+        # transients 16 GB and OOMs the chip (r4 hazard log)
+        from dirjax.ops.binary import _to_bytes
+        chunk = 2_000_000
+        parts = [_to_bytes(jax.random.bits(
+            jax.random.PRNGKey(100 + j),
+            (min(chunk, n_db - s), w), jnp.uint32))
+            for j, s in enumerate(range(0, n_db, chunk))]
+        _cache[ck] = bytes_for_search(jnp.concatenate(parts))
     codes = _cache[ck]
     qcs = [jax.random.bits(jax.random.PRNGKey(10 + j), (nq, w), jnp.uint32)
            for j in range(n_iter)]
@@ -355,7 +373,10 @@ def bench_binary_qps(n_db: int = 1_000_000, n_bits: int = 2048,
                              jnp.float32) for j in range(n_iter)]
 
     def rank(qc_, vq_):
-        vals, idxs = hamming_topk(qc_, codes, k, n_valid=n_db)
+        if method == "mxu":
+            vals, idxs = hamming_topk_mxu(qc_, codes, k, n_valid=n_db)
+        else:
+            vals, idxs = hamming_topk(qc_, codes, k, n_valid=n_db)
         if asym:
             vals, idxs = asym_rescore(vq_, codes, idxs, k)
         return vals
@@ -372,33 +393,25 @@ def bench_binary_qps(n_db: int = 1_000_000, n_bits: int = 2048,
     return nq / (best / n_iter)
 
 
-def bench_binary_device_qps(n_db: int = 1_000_000, n_bits: int = 2048,
-                            nq: int = 256, k: int = 100, n_iter: int = 8):
-    """Pure device-time Hamming throughput (chained-fori two-point slope)
-    — the production-host ceiling once the ~3-5 ms tunnel dispatch cost
-    is out of the way."""
-    from dirjax.ops.binary import _hamming_topk_impl, pad_for_search
+def bench_binary_device_ms(n_db: int = 1_000_000, n_bits: int = 2048,
+                           nq: int = 256, n_iter: int = 8):
+    """Device-slope time of the MXU Hamming kernel's phase 1 (the
+    dominant stage: in-VMEM unpack + matmul + fine maxima over the whole
+    corpus; phases 2-3 touch only ~k blocks). The production-host ceiling
+    once the ~3-5 ms/dispatch tunnel cost is out of the way."""
+    from dirjax.ops.binary import (_BITS_TILE, _bits_finemax_phase1,
+                                   bytes_for_search, unpack_pm1)
 
     w = n_bits // 32
-    codes = pad_for_search(
-        jax.random.bits(jax.random.PRNGKey(2), (n_db, w), jnp.uint32))
+    dbb = bytes_for_search(jax.random.bits(
+        jax.random.PRNGKey(2), (n_db, w), jnp.uint32))
     qc = jax.random.bits(jax.random.PRNGKey(3), (nq, w), jnp.uint32)
-    chunk = codes.shape[0] if codes.shape[0] < 32768 else 32768
+    qpm1 = unpack_pm1(qc).astype(jnp.int8)
 
-    def rank(qc_, codes_):
-        vals, _ = _hamming_topk_impl(qc_, codes_, jnp.int32(n_db), k,
-                                     128, chunk)
-        return vals
+    def p1(q_, d_):
+        return _bits_finemax_phase1(q_, d_, n_db, _BITS_TILE, False)
 
-    # the feedback term is fp-added to uint32 queries — cast via the loop
-    # harness is uint-unfriendly, so wrap: perturb one word by xor of a
-    # data-dependent bit instead
-    def fn(qfloat, codes_):
-        qc_ = qc ^ qfloat.astype(jnp.uint32)
-        return rank(qc_, codes_).astype(jnp.float32)
-
-    sec = _timed_loop(fn, (jnp.zeros((nq, w), jnp.float32), codes), n_iter)
-    return nq / sec
+    return _timed_loop(p1, (qpm1, dbb), n_iter) * 1e3
 
 
 def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
@@ -671,7 +684,8 @@ def main():
 
     try:
         # binary-hash tier: exactness gate FIRST (population_count/XOR
-        # reductions had never run on real TPU before r4), then QPS
+        # reductions and the Mosaic unpack-matmul kernel must both match
+        # the oracle on real TPU), then QPS on the MXU serving path
         ok = check_binary_exact()
         extras["binary_exact_vs_oracle"] = bool(ok)
         if ok:
@@ -681,6 +695,10 @@ def main():
                 bench_binary_qps(nq=64), 1)
             extras["binary_asym_qps_1M_2048b_nq256"] = round(
                 bench_binary_qps(asym=True), 1)
+            # the XLA popcount fallback, for the record (the MXU kernel's
+            # win over it is the r4 headline — PERF_NOTES binary section)
+            extras["binary_scan_qps_1M_2048b_nq256"] = round(
+                bench_binary_qps(method="scan"), 1)
             # capacity: 16M rows in 4 GB of codes (8x the int8 ceiling)
             extras["binary_qps_16M_2048b_nq256"] = round(
                 bench_binary_qps(n_db=16_000_000, n_iter=4), 1)
@@ -690,8 +708,8 @@ def main():
         bench_binary_qps.__defaults__[-1].clear()
 
     try:
-        extras["binary_qps_device_1M_2048b_nq256"] = round(
-            bench_binary_device_qps(), 1)
+        extras["binary_p1_ms_device_1M_2048b_nq256"] = round(
+            bench_binary_device_ms(), 2)
     except Exception as e:
         extras["binary_device_error"] = str(e)[:120]
 

@@ -1,8 +1,10 @@
 from .binary import (  # noqa: F401
     BinaryCodec,
     binarize,
+    bytes_for_search,
     fit_itq,
     hamming_topk,
+    hamming_topk_mxu,
     pad_for_search,
     project_queries,
     unpack_pm1,

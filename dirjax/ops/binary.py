@@ -14,17 +14,19 @@ split variance evenly. TPU-native shape: the loop is one (n, b) x (b, b)
 MXU matmul + one (b, b) Procrustes SVD per iteration, all on device —
 pass a device array to avoid the slow host->device upload of big samples.
 
-Ranking is a three-phase exact-top-k (the same fine-max shape as
-``ops/topk_pallas.py``, here in plain XLA because the hot op is a VPU
-``population_count``, not an MXU contraction):
+Two exact ranking paths, same fine-max top-k shape as
+``ops/topk_pallas.py``:
 
-1. stream row chunks under ``lax.scan``, writing ONLY per-``block``
-   maxima (the (nq, N) distance matrix exists one chunk at a time);
-2. ``lax.top_k`` over the (nq, N/block) maxima picks k candidate blocks
-   — exact: the true top-k rows span at most k blocks, and every
-   selected block's max bounds any excluded block's rows;
-3. gather the winning blocks (contiguous ``block * n_words`` uint32
-   slices — the fast gather shape on TPU) and rescore + final top-k.
+* :func:`hamming_topk` — plain-XLA popcount scan: stream row chunks
+  under ``lax.scan``, write ONLY per-``block`` maxima, ``lax.top_k``
+  picks k candidate blocks (exact: the true top-k rows span at most k
+  blocks and every selected block's max bounds any excluded block's
+  rows), gather + rescore. VPU-bound: 36 ms at 1M x 2048 bits nq=256.
+* :func:`hamming_topk_mxu` — the TPU serving path: a Pallas kernel
+  unpacks packed code tiles to ±1 bf16 INSIDE VMEM and runs the same
+  similarity as an MXU matmul (10.85 ms for the same job — PERF_NOTES
+  "Binary-hash tier"), reusing the dense path's hierarchical selection
+  and finishing with a popcount rescore of ~k gathered blocks.
 
 Hamming distances are small integers, so ties are common: returned
 *values* are exact vs a brute-force oracle; tie-broken *indices* may
@@ -45,7 +47,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["BinaryCodec", "fit_itq", "binarize", "project_queries",
-           "unpack_pm1", "hamming_topk", "pad_for_search", "asym_rescore"]
+           "unpack_pm1", "hamming_topk", "pad_for_search", "asym_rescore",
+           "bytes_for_search", "hamming_topk_mxu"]
 
 
 class BinaryCodec(NamedTuple):
@@ -153,11 +156,22 @@ def project_queries(queries, codec: BinaryCodec) -> jnp.ndarray:
                       codec.proj, precision=jax.lax.Precision.HIGHEST)
 
 
+def _bits_per_word(codes) -> int:
+    """Packed-code word width: 32 (uint32 words) or 8 (byte layout)."""
+    if codes.dtype == jnp.uint32:
+        return 32
+    assert codes.dtype == jnp.uint8, f"packed codes, got {codes.dtype}"
+    return 8
+
+
 def unpack_pm1(codes: jnp.ndarray) -> jnp.ndarray:
-    """(..., W) packed uint32 -> (..., 32*W) float32 in {-1, +1}."""
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (codes[..., None] >> shifts) & jnp.uint32(1)
-    bits = bits.reshape(*codes.shape[:-1], codes.shape[-1] * 32)
+    """(..., W) packed uint32 (or uint8 bytes) -> (..., bits) float32 in
+    {-1, +1}; LSB-first within each word either way, so the uint32 and
+    byte layouts of the same codes unpack identically."""
+    bpw = _bits_per_word(codes)
+    shifts = jnp.arange(bpw, dtype=codes.dtype)
+    bits = (codes[..., None] >> shifts) & codes.dtype.type(1)
+    bits = bits.reshape(*codes.shape[:-1], codes.shape[-1] * bpw)
     return bits.astype(jnp.float32) * 2.0 - 1.0
 
 
@@ -185,7 +199,7 @@ def _hamming_topk_impl(qp, dbp, n_valid, k: int, block: int,
                        chunk_rows: int):
     nq, w = qp.shape
     n_pad = dbp.shape[0]
-    n_bits = 32 * w
+    n_bits = _bits_per_word(qp) * w
     n_chunks = n_pad // chunk_rows
     blocks_per_chunk = chunk_rows // block
     neg = jnp.int32(-(2 ** 30))
@@ -254,6 +268,8 @@ def hamming_topk(q_packed, db_packed, k: int, *, n_valid: Optional[int] = None,
     (rows at index >= n_valid can never be returned)."""
     qp = jnp.asarray(q_packed)
     dbp = jnp.asarray(db_packed)
+    if qp.dtype != dbp.dtype and dbp.dtype == jnp.uint8:
+        qp = _to_bytes(qp)      # byte-layout database, uint32 queries
     assert qp.ndim == 2 and dbp.ndim == 2 and qp.shape[1] == dbp.shape[1]
     n = dbp.shape[0] if n_valid is None else int(n_valid)
     assert 0 < k <= n, f"k={k} exceeds the {n} database rows"
@@ -261,3 +277,189 @@ def hamming_topk(q_packed, db_packed, k: int, *, n_valid: Optional[int] = None,
     chunk_rows -= chunk_rows % block
     dbp = _pad_rows(dbp, chunk_rows)
     return _hamming_topk_impl(qp, dbp, jnp.int32(n), k, block, chunk_rows)
+
+
+# ---------------------------------------------------------------------------
+# MXU Hamming path: unpack-in-VMEM + matmul (Pallas), ~3x the popcount scan
+# ---------------------------------------------------------------------------
+# The popcount scan above is VPU-bound: 1M x 2048 bits at nq=256 measured
+# 36 ms device-slope (7.1k QPS) while the SAME similarity as a +-1 bf16
+# matmul is a 1.05 Tflop MXU job (~6 ms, see PERF_NOTES ranking roofline).
+# Unpacking the whole corpus to bf16 would need 4 GB — instead a Pallas
+# kernel unpacks one code tile at a time INSIDE VMEM and feeds the MXU,
+# so HBM still streams only the 256 B/row packed codes. Phases 2/3 reuse
+# the fine-max hierarchy machinery of ops/topk_pallas.py.
+#
+# In-kernel unpack (Mosaic-safe by construction — every step is a pattern
+# already proven on this toolchain, see CLAUDE.md pitfalls):
+#   1. codes arrive as BYTES (uint8) and hop uint8 -> int32 -> bf16
+#      (direct uint8->bf16 casts do not lower);
+#   2. byte b replicates to its 8 bit-lanes via an iota-compare constant
+#      matmul (vector-shape-cast repeats do not lower; the eye-expand MXU
+#      dot is the PQ kernel's trick) — bytes fit bf16 EXACTLY (<= 255),
+#      accumulate f32;
+#   3. bit d = floor(rep / 2^(d%8)) mod 2 in f32 (exact for these ints),
+#      then +-1 bf16.
+# Expansion costs T*256*D*2 extra MXU flops — the same as the score dot
+# itself at nq=256 — which still lands ~3x ahead of the VPU scan.
+
+_BITS_TILE = 1024    # rows per grid step. VMEM high-water at 1024 with the
+#                      chunked expansion: per-chunk rep f32 (1024, 1024)
+#                      4 MB + int8 pm1 1 MB + int32 scores 1 MB + operands
+#                      ~2.5 MB — well under the 16 MB scoped budget (2048
+#                      would put rep at 8 MB and total ~15.5 MB: too close,
+#                      and VMEM-overflow compiles WEDGE the chip)
+
+
+def _to_bytes(codes) -> jnp.ndarray:
+    """(N, W) uint32 -> (N, 4W) uint8, LSB-first byte order (byte ``4w+j``
+    holds bits ``32w+8j .. 32w+8j+7``), matching :func:`unpack_pm1` — the
+    same memory layout as a little-endian uint32 view, so round-trips are
+    ``np.view`` cheap."""
+    c = jnp.asarray(codes)
+    if c.dtype == jnp.uint8:
+        return c
+    shifts = jnp.arange(0, 32, 8, dtype=jnp.uint32)
+    b = ((c[..., None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.uint8)
+    return b.reshape(c.shape[0], -1)
+
+
+def bytes_for_search(codes, tile_rows: int = _BITS_TILE) -> jnp.ndarray:
+    """Packed (N, W) uint32 codes -> (Npad, 4W) uint8 byte matrix, padded
+    with zero rows to a ``tile_rows`` multiple — the resident layout of
+    :func:`hamming_topk_mxu`. Build once per corpus; same bytes per row
+    as the uint32 layout, so capacity is unchanged."""
+    return _pad_rows(_to_bytes(codes), tile_rows)
+
+
+def _bits_finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows):
+    """One byte-code tile: in-VMEM unpack to +-1 int8, MXU score vs the
+    unpacked queries, reduce to per-8-row fine-block maxima (the same
+    contract as topk_pallas._finemax_kernel, so _hier_select applies).
+
+    The byte->lane replication matmul is BLOCK-DIAGONAL (byte b only
+    feeds lanes [8b, 8b+8)), so it runs as K=128 chunks — half the
+    dense-eye flops and no MXU contraction padding — and each chunk's
+    +-1 slice contracts on the int8 MXU (2x bf16 rate; +-1 products
+    accumulate exactly in int32). Both cut phase 1 from 10.85 ms to the
+    measured value in PERF_NOTES "Binary-hash tier"."""
+    import jax.experimental.pallas as pl
+
+    t = pl.program_id(0)
+    by = db_ref[...].astype(jnp.int32).astype(jnp.bfloat16)   # (T, NB)
+    nt, nb = by.shape
+    nq = q_ref.shape[0]
+    cb = 128 if nb % 128 == 0 else nb      # bytes per expansion chunk
+    cd = cb * 8
+    # one (cb, cd) iota-compare eye, shared by every chunk (the local
+    # byte of local lane d is d>>3 in each chunk; shifts/ands only —
+    # '//'/'%' lowering is unproven on this Mosaic toolchain)
+    bid = jax.lax.broadcasted_iota(jnp.int32, (cb, cd), 0)
+    did = jax.lax.broadcasted_iota(jnp.int32, (cb, cd), 1)
+    eye8 = ((did >> 3) == bid).astype(jnp.bfloat16)
+    shift = jax.lax.broadcasted_iota(jnp.int32, (1, cd), 1) & 7
+    div = jnp.exp2(shift.astype(jnp.float32))
+    scores = jnp.zeros((nt, nq), jnp.int32)
+    for c in range(nb // cb):
+        rep = jax.lax.dot_general(                            # (T, cd) f32
+            by[:, c * cb:(c + 1) * cb], eye8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        half = jnp.floor(rep / div)
+        bit = half - 2.0 * jnp.floor(half * 0.5)              # half mod 2
+        pm1 = (bit * 2.0 - 1.0).astype(jnp.int32).astype(jnp.int8)
+        scores += jax.lax.dot_general(                        # (T, nq) i32
+            pm1, q_ref[:, c * cd:(c + 1) * cd],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    scores = scores.astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nt, nq), 0) + t * tile_rows
+    scores = jnp.where(row < n_total, scores, -jnp.inf)
+    fmax_ref[...] = scores.reshape(nt // 8, 8, nq).max(axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_valid", "tile_rows", "interpret"))
+def _bits_finemax_phase1(q_pm1, db_bytes, n_valid: int, tile_rows: int,
+                         interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nq, d = q_pm1.shape
+    nb = db_bytes.shape[1]
+    tiles = db_bytes.shape[0] // tile_rows
+    fpt = tile_rows // 8
+    kernel = partial(_bits_finemax_kernel, n_total=n_valid,
+                     tile_rows=tile_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, nb), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((fpt, nq), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles * fpt, nq), jnp.float32),
+        interpret=interpret,
+    )(q_pm1, db_bytes)
+
+
+@partial(jax.jit, static_argnames=("k", "n_valid"))
+def _bits_finish(qbytes, db_bytes, bids, vmask, k: int, n_valid: int):
+    """Gather the winning 8-row byte blocks (2 KB contiguous — the fast
+    gather shape) and rescore them exactly by popcount; dense-score the
+    ragged tail rows the hierarchy cannot address; final top-k."""
+    nq, kf_pad = bids.shape
+    nb = db_bytes.shape[1]
+    n_bits = nb * 8
+    nb_main = n_valid // 8
+    blocks = db_bytes.reshape(-1, 8, nb)
+    cand = jnp.take(blocks, bids, axis=0)          # (nq, kf_pad, 8, NB)
+    dist = jnp.sum(jax.lax.population_count(
+        qbytes[:, None, None, :] ^ cand).astype(jnp.int32), axis=-1)
+    sims = (n_bits - 2 * dist).astype(jnp.float32)
+    rows = (bids[:, :, None] * 8
+            + jnp.arange(8, dtype=jnp.int32)).reshape(nq, kf_pad * 8)
+    valid = jnp.repeat(vmask, 8, axis=1)
+    scores = jnp.where(valid, sims.reshape(nq, kf_pad * 8), -jnp.inf)
+    tail = n_valid - nb_main * 8
+    if tail:
+        tdist = jnp.sum(jax.lax.population_count(
+            qbytes[:, None, :] ^ db_bytes[nb_main * 8: n_valid][None]
+        ).astype(jnp.int32), axis=-1)
+        scores = jnp.concatenate(
+            [scores, (n_bits - 2 * tdist).astype(jnp.float32)], axis=1)
+        rows = jnp.concatenate(
+            [rows, jnp.tile(jnp.arange(nb_main * 8, n_valid,
+                                       dtype=jnp.int32)[None], (nq, 1))],
+            axis=1)
+    vals, pos = jax.lax.top_k(scores, k)
+    idxs = jnp.take_along_axis(rows, pos, axis=1)
+    return vals, jnp.where(vals > -jnp.inf, idxs, -1)
+
+
+def hamming_topk_mxu(q_packed, db_bytes, k: int, *,
+                     n_valid: Optional[int] = None,
+                     tile_rows: int = _BITS_TILE,
+                     interpret: Optional[bool] = None):
+    """Exact Hamming top-k over a :func:`bytes_for_search` byte corpus via
+    the MXU (same return contract as :func:`hamming_topk`; values are the
+    identical ``n_bits - 2*dist`` integers — +-1 products accumulate
+    exactly in f32). Stages run as SEPARATE jits like the dense ranking
+    path (PERF_NOTES: fusing them schedules the gather pathologically)."""
+    from .topk_pallas import _hier_select
+
+    qbytes = _to_bytes(jnp.asarray(q_packed))
+    dbb = jnp.asarray(db_bytes)
+    assert dbb.dtype == jnp.uint8 and dbb.shape[0] % tile_rows == 0, \
+        "db_bytes must come from bytes_for_search (uint8, tile-padded)"
+    assert qbytes.shape[1] == dbb.shape[1], (qbytes.shape, dbb.shape)
+    n = dbb.shape[0] if n_valid is None else int(n_valid)
+    assert 0 < k <= n, f"k={k} exceeds the {n} database rows"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q_pm1 = unpack_pm1(qbytes).astype(jnp.int8)   # int8 MXU contraction
+    fmax = _bits_finemax_phase1(q_pm1, dbb, n, tile_rows, interpret)
+    bids, vmask = _hier_select(fmax, k, tile_rows, n)
+    return _bits_finish(qbytes, dbb, bids, vmask, k, n)

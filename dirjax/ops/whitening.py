@@ -138,8 +138,20 @@ def fit_pca_device(X, n_components: Optional[int] = None) -> PCAParams:
 
 def apply_whitening(X, pca: PCAParams, whitenp: float = 0.5,
                     whitenv: Optional[int] = None, whitenm: float = 1.0,
-                    l2norm: bool = True):
-    """Whiten descriptor rows (jit-compatible; ``whitenv`` must be static)."""
+                    l2norm: bool = True, dead_floor: float = 0.0):
+    """Whiten descriptor rows (jit-compatible; ``whitenv`` must be static).
+
+    Rank-deficient corpora (rank < D) have trailing eigenvalues clipped
+    to EXACTLY 0 by the fit: dividing by 0^p would poison those columns
+    with NaN (the reference emits NaN there too — no signal exists), so
+    they fold to 0. Tiny POSITIVE eigenvalues divide like the reference
+    by default: any silent floor changes mAP vs dirtorch on low-rank
+    fits (an early 1e-7 floor broke cross-toolbox TTA parity on a
+    14-image fixture). ``dead_floor > 0`` opts into ALSO zeroing
+    directions with variance below ``max(var) * dead_floor`` — the sane
+    regularization for structurally rank-deficient spectra (the recall
+    study uses 1e-7, the fp32 Gram noise scale), at the price of exact
+    reference parity."""
     X = jnp.asarray(X)
     comps = pca.components[:whitenv]
     var = pca.variance[:whitenv]
@@ -149,33 +161,30 @@ def apply_whitening(X, pca: PCAParams, whitenp: float = 0.5,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     if bool(pca.whiten):  # reference gates the scaling on the sklearn flag
-        # rank-deficient corpora (rank < D) have trailing eigenvalues
-        # clipped to 0 by the fit: dividing by 0^p poisons those columns
-        # with NaN, and near-0 ones amplify pure fit noise to unit
-        # variance. Zero the dead directions instead — the 1e-7 relative
-        # floor sits at the fp32 Gram-accumulation noise scale, far
-        # below any real descriptor spectrum's dynamic range.
-        floor = jnp.max(var) * 1e-7
-        scaled = Xt / (whitenm * jnp.power(jnp.maximum(var, floor),
-                                           whitenp))
+        floor = jnp.max(var) * dead_floor
+        scaled = Xt / (whitenm * jnp.power(
+            jnp.maximum(var, jnp.maximum(floor, 1e-38)), whitenp))
         Xt = jnp.where(var > floor, scaled, 0.0)
     return l2_normalize(Xt) if l2norm else Xt
 
 
 def whitening_matrix(pca: PCAParams, whitenp: float = 0.5,
-                     whitenv: Optional[int] = None, whitenm: float = 1.0):
+                     whitenv: Optional[int] = None, whitenm: float = 1.0,
+                     dead_floor: float = 0.0):
     """Fold the whitening transform into (W, b) with X_hat = X @ W + b,
-    ready to fuse behind the descriptor head's FC projection."""
+    ready to fuse behind the descriptor head's FC projection. Same
+    dead-direction contract as :func:`apply_whitening`: exact-zero
+    eigenvalues fold to a 0 column (reference: NaN); positive ones
+    divide unfloored unless ``dead_floor`` opts into the relative
+    floor."""
     comps = np.asarray(pca.components[:whitenv], dtype=np.float64)
     var = np.asarray(pca.variance[:whitenv], dtype=np.float64)
     if bool(pca.whiten):
-        # same dead-direction guard as apply_whitening: zero-clipped
-        # eigenvalues of a rank-deficient fit must fold to a 0 column,
-        # not a NaN/noise-amplifying one
-        floor = float(var.max()) * 1e-7
-        scale = np.where(var > floor,
-                         1.0 / (whitenm * np.power(np.maximum(var, floor),
-                                                   whitenp)), 0.0)
+        floor = float(var.max()) * dead_floor
+        scale = np.where(
+            var > floor,
+            1.0 / (whitenm * np.power(np.maximum(var, max(floor, 1e-300)),
+                                      whitenp)), 0.0)
     else:
         scale = np.ones_like(var)
     W = comps.T * scale[None, :]

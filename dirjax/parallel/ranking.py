@@ -412,11 +412,15 @@ def sharded_hamming_topk(q_packed, codes_sharded, k: int, mesh: Mesh,
                          chunk_rows: int = 32768):
     """Global Hamming top-k over row-sharded packed sign codes.
 
-    Each shard runs the single-chip three-phase exact kernel
+    Each shard runs the single-chip three-phase exact scan
     (:func:`dirjax.ops.binary.hamming_topk`) on its rows with a local
     validity bound, then the O(devices*k) candidate merge shared with
     every other sharded tier. Values are the ±1 dot ``n_bits - 2*dist``;
-    invalid slots carry index ``-1``.
+    invalid slots carry index ``-1``. Like the other sharded tiers this
+    stays plain-XLA inside shard_map (testable on the virtual CPU mesh);
+    on real multi-chip hardware the per-shard call is a one-line swap to
+    the 3-4x :func:`~dirjax.ops.binary.hamming_topk_mxu` MXU kernel
+    (PERF_NOTES "Binary-hash tier").
 
     With ``vq`` (continuous projected queries from
     :func:`dirjax.ops.binary.project_queries`, replicated — (nq, n_bits)

@@ -422,8 +422,9 @@ class BinaryIndex(_Tombstones):
     The capacity point between PQ (32 B/row) and int8 (2 KB/row at
     2048-D): 2048-bit sign codes are 256 B/row — 8x the int8 corpus per
     chip — with far higher per-row fidelity than 32-B PQ codes. Queries
-    rank by packed Hamming distance (:func:`dirjax.ops.binary.hamming_topk`:
-    VPU ``population_count`` streaming, block-max selection, exact values);
+    rank by packed Hamming distance — on TPU via the Pallas MXU
+    unpack-matmul kernel (:func:`dirjax.ops.binary.hamming_topk_mxu`,
+    3-4x the popcount scan it falls back to elsewhere; exact values);
     with ``asym=True`` (default) the top ``rerank_factor * k`` Hamming
     candidates are rescored asymmetrically — continuous projected query
     against ±1 codes — which recovers most of the query-side quantization
@@ -460,14 +461,34 @@ class BinaryIndex(_Tombstones):
         self._set_codes(binarize(descriptors, self.codec))
 
     def _set_codes(self, codes) -> None:
-        """Place packed codes: padded on one chip, or row-sharded over the
-        mesh's "db" axis (:func:`dirjax.parallel.ranking.shard_codes_binary`)."""
+        """Place packed codes. Single chip: the BYTE layout (same bytes per
+        row as uint32 words — capacity unchanged), padded once to a
+        multiple that serves both the popcount-scan path (32768-row
+        chunks) and the MXU unpack-matmul kernel (512-row tiles), so no
+        search ever re-pads the corpus. Mesh: uint32 words row-sharded
+        over the "db" axis (:func:`~dirjax.parallel.ranking.shard_codes_binary`)."""
         if self.mesh is None:
-            self._codes = pad_for_search(codes)
+            from .ops.binary import _BITS_TILE, _pad_rows, _to_bytes
+
+            b = _to_bytes(jnp.asarray(codes))
+            self._codes = _pad_rows(
+                b, 32768 if self.n >= 32768 else _BITS_TILE)
         else:
             from .parallel.ranking import shard_codes_binary
 
             self._codes, _ = shard_codes_binary(codes, self.mesh)
+
+    def _rank(self, qp, k: int):
+        """Packed-Hamming top-k over the resident codes: the Pallas MXU
+        unpack-matmul kernel on TPU (hamming_topk_mxu — 23.6k QPS phase-1
+        ceiling at 1M x 2048 bits vs the 7.1k popcount scan, PERF_NOTES
+        binary section), the XLA scan elsewhere (interpret-mode Pallas
+        would crawl on CPU)."""
+        from .ops.binary import hamming_topk_mxu
+
+        if jax.default_backend() == "tpu":
+            return hamming_topk_mxu(qp, self._codes, k, n_valid=self.n)
+        return hamming_topk(qp, self._codes, k, n_valid=self.n)
 
     n_bits = property(lambda self: self.codec.n_bits)
 
@@ -503,13 +524,12 @@ class BinaryIndex(_Tombstones):
                 vq=vq, rerank_factor=rerank_factor)
         elif self.asym:
             kf = min(max(k * rerank_factor, k) + pad, self.n)
-            _, cand = hamming_topk(qp, self._codes, kf, n_valid=self.n)
+            _, cand = self._rank(qp, kf)
             vals, idxs = _asym_rescore_impl(
                 project_queries(qj, self.codec), self._codes, cand,
                 min(k + pad, kf))
         else:
-            vals, idxs = hamming_topk(qp, self._codes,
-                                      min(k + pad, self.n), n_valid=self.n)
+            vals, idxs = self._rank(qp, min(k + pad, self.n))
         if pad:
             vals, idxs = self._tomb_filter(vals, idxs, k)
         return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
@@ -524,9 +544,14 @@ class BinaryIndex(_Tombstones):
             assert keys is not None and len(keys) == len(new), \
                 "index carries keys: add() needs one key per new row"
         old = self._codes[: self.n]
+        fresh = binarize(new, self.codec)
         if self.mesh is not None:   # gather before mixing shardings
             old = jnp.asarray(np.asarray(old))
-        merged = jnp.concatenate([old, binarize(new, self.codec)])
+        else:                       # single chip stores the byte layout
+            from .ops.binary import _to_bytes
+
+            fresh = _to_bytes(fresh)
+        merged = jnp.concatenate([old, fresh])
         if self.keys is not None:
             self.keys.extend(keys)
         self._tomb_extend(len(new))
@@ -546,8 +571,11 @@ class BinaryIndex(_Tombstones):
         """One npz: packed uint32 codes + the codec (mean, projection).
         A 10M-image 2048-bit index saves in ~2.4 GB; codes reload without
         re-hashing."""
+        codes = np.asarray(self._codes[: self.n])
+        if codes.dtype == np.uint8:      # byte layout -> uint32 file format
+            codes = np.ascontiguousarray(codes).view(np.uint32)
         arrays = {
-            "binary_codes": np.asarray(self._codes[: self.n]),
+            "binary_codes": codes,
             "binary_mean": np.asarray(self.codec.mean, np.float32),
             "binary_proj": np.asarray(self.codec.proj, np.float32),
             "binary_asym": np.asarray(int(self.asym)),

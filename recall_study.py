@@ -199,8 +199,8 @@ def evaluate(args):
     # descriptors are rank-deficient (rank ~1500 < 2048 here) — the
     # zero-variance guard in apply_whitening keeps dead directions at 0.
     pca = fit_pca_device(data["db"])
-    db = np.asarray(apply_whitening(data["db"], pca, whitenp=0.5))
-    q = np.asarray(apply_whitening(data["q"], pca, whitenp=0.5))
+    db = np.asarray(apply_whitening(data["db"], pca, whitenp=0.5, dead_floor=1e-7))
+    q = np.asarray(apply_whitening(data["q"], pca, whitenp=0.5, dead_floor=1e-7))
     assert np.isfinite(db).all() and np.isfinite(q).all(), \
         "whitened descriptors must be finite"
     n, dim = db.shape
@@ -275,9 +275,9 @@ def evaluate(args):
     # full-dim rows; whitenv is the reference pipeline's own knob) -------
     if wants("pca256"):
         db256 = np.asarray(apply_whitening(data["db"], pca, whitenp=0.5,
-                                           whitenv=256))
+                                           whitenv=256, dead_floor=1e-7))
         q256 = np.asarray(apply_whitening(data["q"], pca, whitenp=0.5,
-                                          whitenv=256))
+                                          whitenv=256, dead_floor=1e-7))
         grade("pca256_exact",
               lambda k: np.argsort(-(q256 @ db256.T), axis=1)[:, :k],
               note="exact dot in the whitenv=256 space — the dim-"
@@ -346,9 +346,9 @@ def evaluate(args):
     # recall vs exact search over the same vectors the index serves).
     if wants("tuner_pca256"):
         db256 = np.asarray(apply_whitening(data["db"], pca, whitenp=0.5,
-                                           whitenv=256))
+                                           whitenv=256, dead_floor=1e-7))
         q256 = np.asarray(apply_whitening(data["q"], pca, whitenp=0.5,
-                                          whitenv=256))
+                                          whitenv=256, dead_floor=1e-7))
         pq256r = PQIndex(db256, m=32, ksub=256, rerank=True, seed=0,
                          train_iters=10)
         half = len(q256) // 2

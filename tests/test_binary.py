@@ -98,6 +98,49 @@ class TestHammingTopk:
             hamming_topk(dbp[:2], dbp, 51)
 
 
+class TestHammingMxu:
+    """The Pallas MXU unpack-matmul path (interpret mode off-TPU) must
+    return the exact oracle VALUES — same contract as the scan."""
+
+    @pytest.mark.parametrize("n,w,k", [
+        (1000, 2, 10),       # ragged: 1000 valid rows in 1024-padded tiles
+        (513, 2, 100),       # tail rows the hierarchy cannot address
+        (4096, 16, 7),       # multi-tile, 512-bit codes
+    ])
+    def test_values_match_oracle(self, rng, n, w, k):
+        from dirjax.ops.binary import bytes_for_search, hamming_topk_mxu
+
+        qp = jnp.asarray(_rand_codes(rng, 5, w))
+        dbp = _rand_codes(rng, n, w)
+        vals, idxs = hamming_topk_mxu(qp, bytes_for_search(dbp), k,
+                                      n_valid=n)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        oracle = _oracle_sims(np.asarray(qp), dbp)
+        np.testing.assert_array_equal(vals.astype(np.int64),
+                                      -np.sort(-oracle, axis=1)[:, :k])
+        assert int(idxs.max()) < n
+        got = np.take_along_axis(oracle, idxs, axis=1)
+        np.testing.assert_array_equal(got, vals.astype(np.int64))
+
+    def test_byte_layout_scan_parity(self, rng):
+        """The scan path accepts the byte layout (uint8 corpus + uint32
+        queries auto-convert) and matches the uint32 result bit-for-bit —
+        the single-chip BinaryIndex stores bytes and must be able to fall
+        back to the scan off-TPU."""
+        from dirjax.ops.binary import _to_bytes
+
+        dbp = _rand_codes(rng, 300, 4)
+        qp = jnp.asarray(_rand_codes(rng, 3, 4))
+        v32, i32 = hamming_topk(qp, jnp.asarray(dbp), 20)
+        v8, i8 = hamming_topk(qp, _to_bytes(jnp.asarray(dbp)), 20)
+        np.testing.assert_array_equal(np.asarray(v32), np.asarray(v8))
+        np.testing.assert_array_equal(np.asarray(i32), np.asarray(i8))
+        # unpack_pm1 agrees across layouts (asym rescore relies on it)
+        np.testing.assert_array_equal(
+            np.asarray(unpack_pm1(jnp.asarray(dbp))),
+            np.asarray(unpack_pm1(_to_bytes(jnp.asarray(dbp)))))
+
+
 class TestITQ:
     def test_projection_is_orthonormal(self, rng):
         x = rng.normal(size=(400, 48)).astype(np.float32)

@@ -82,8 +82,12 @@ def test_retrieval_index_accepts_device_array(corpus):
 
 def test_whitening_rank_deficient_is_finite():
     """Rank-deficient corpora (rank < D) have zero-clipped trailing
-    eigenvalues; whitening must zero those directions, not divide by
-    zero (found via the r4 recall study: 530 NaN columns)."""
+    eigenvalues; whitening must zero EXACTLY those directions, not
+    divide by zero (found via the r4 recall study: 530 NaN columns).
+    Default mode keeps reference parity (tiny positive eigenvalues still
+    divide — fit noise amplifies exactly like dirtorch's own math, so
+    fold-vs-apply agreement is only asserted under the opt-in
+    ``dead_floor``, which zeroes the noise directions)."""
     from dirjax.ops.whitening import (apply_whitening, fit_pca_device,
                                       whitening_matrix)
 
@@ -92,14 +96,19 @@ def test_whitening_rank_deficient_is_finite():
     x = rng.standard_normal((300, 12)).astype(np.float32) @ basis  # rank 12
     pca = fit_pca_device(x)
     out = np.asarray(apply_whitening(x, pca, whitenp=0.5))
-    assert np.isfinite(out).all()
-    # dead directions contribute nothing: rows still rank by the live ones
+    assert np.isfinite(out).all()          # parity mode: finite, no NaN
     assert np.abs(out).sum() > 0
-    w, b = whitening_matrix(pca, whitenp=0.5)
+    # dead_floor mode: noise directions are zeroed, so the f32 apply and
+    # the f64 folded (W, b) agree everywhere
+    outf = np.asarray(apply_whitening(x, pca, whitenp=0.5, dead_floor=1e-7))
+    assert np.isfinite(outf).all()
+    dead = np.asarray(pca.variance) <= float(np.max(pca.variance)) * 1e-7
+    assert dead.any() and not np.abs(outf[:, dead]).any()
+    w, b = whitening_matrix(pca, whitenp=0.5, dead_floor=1e-7)
     assert np.isfinite(w).all() and np.isfinite(b).all()
     folded = x @ w + b
     folded /= np.linalg.norm(folded, axis=1, keepdims=True)
-    np.testing.assert_allclose(folded, out, atol=2e-4)
+    np.testing.assert_allclose(folded, outf, atol=2e-4)
 
 
 def test_whitening_full_rank_unchanged_by_guard():
