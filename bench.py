@@ -400,18 +400,21 @@ def bench_binary_device_ms(n_db: int = 1_000_000, n_bits: int = 2048,
     corpus; phases 2-3 touch only ~k blocks). The production-host ceiling
     once the ~3-5 ms/dispatch tunnel cost is out of the way."""
     from dirjax.ops.binary import (_BITS_TILE, _bits_finemax_phase1,
-                                   bytes_for_search, unpack_pm1)
+                                   bytes_for_search)
 
     w = n_bits // 32
     dbb = bytes_for_search(jax.random.bits(
         jax.random.PRNGKey(2), (n_db, w), jnp.uint32))
     qc = jax.random.bits(jax.random.PRNGKey(3), (nq, w), jnp.uint32)
-    qpm1 = unpack_pm1(qc).astype(jnp.int8)
 
-    def p1(q_, d_):
+    # the loop harness adds a float feedback term to the first arg, which
+    # uint32 queries can't absorb — xor in a data-dependent bit instead
+    def p1(qf, d_):
+        q_ = qc ^ qf.astype(jnp.uint32)
         return _bits_finemax_phase1(q_, d_, n_db, _BITS_TILE, False)
 
-    return _timed_loop(p1, (qpm1, dbb), n_iter) * 1e3
+    return _timed_loop(p1, (jnp.zeros((nq, w), jnp.float32), dbb),
+                       n_iter) * 1e3
 
 
 def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
@@ -450,11 +453,13 @@ def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
 
     rng = np.random.default_rng(0)
     queries = rng.standard_normal((rows_per_req, dim), np.float32)
-    # warm every nq bucket the batcher can emit for this load (1 remainder
-    # dispatch is possible) + compile the 256-row path
+    # pre-compile EVERY bucket the batcher can emit, then clear the
+    # latency window: unwarmed buckets compiling mid-run sank this bench
+    # from 6.6k to 0.9k QPS with p99 8.8 s (see DynamicBatcher.warmup)
+    server.batcher.warmup(k=k)
     warm = Client(path)
-    warm.search(rng.standard_normal((256, dim), np.float32), k=k)
     warm.search(queries, k=k)
+    server.batcher.reset_latency_stats()
 
     start = threading.Barrier(n_clients + 1)
     done = []

@@ -379,11 +379,14 @@ def _bits_finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows):
 
 
 @partial(jax.jit, static_argnames=("n_valid", "tile_rows", "interpret"))
-def _bits_finemax_phase1(q_pm1, db_bytes, n_valid: int, tile_rows: int,
+def _bits_finemax_phase1(q_packed, db_bytes, n_valid: int, tile_rows: int,
                          interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # query prep INSIDE the jit: eager _to_bytes/unpack dispatches cost
+    # ~3-5 ms each through the dev tunnel (CLAUDE.md)
+    q_pm1 = unpack_pm1(_to_bytes(q_packed)).astype(jnp.int8)
     nq, d = q_pm1.shape
     nb = db_bytes.shape[1]
     tiles = db_bytes.shape[0] // tile_rows
@@ -406,10 +409,11 @@ def _bits_finemax_phase1(q_pm1, db_bytes, n_valid: int, tile_rows: int,
 
 
 @partial(jax.jit, static_argnames=("k", "n_valid"))
-def _bits_finish(qbytes, db_bytes, bids, vmask, k: int, n_valid: int):
+def _bits_finish(q_packed, db_bytes, bids, vmask, k: int, n_valid: int):
     """Gather the winning 8-row byte blocks (2 KB contiguous — the fast
     gather shape) and rescore them exactly by popcount; dense-score the
     ragged tail rows the hierarchy cannot address; final top-k."""
+    qbytes = _to_bytes(q_packed)
     nq, kf_pad = bids.shape
     nb = db_bytes.shape[1]
     n_bits = nb * 8
@@ -450,16 +454,23 @@ def hamming_topk_mxu(q_packed, db_bytes, k: int, *,
     path (PERF_NOTES: fusing them schedules the gather pathologically)."""
     from .topk_pallas import _hier_select
 
-    qbytes = _to_bytes(jnp.asarray(q_packed))
+    qp = jnp.asarray(q_packed)
     dbb = jnp.asarray(db_bytes)
     assert dbb.dtype == jnp.uint8 and dbb.shape[0] % tile_rows == 0, \
         "db_bytes must come from bytes_for_search (uint8, tile-padded)"
-    assert qbytes.shape[1] == dbb.shape[1], (qbytes.shape, dbb.shape)
+    qw = qp.shape[1] * (4 if qp.dtype == jnp.uint32 else 1)
+    assert qw == dbb.shape[1], (qp.shape, dbb.shape)
     n = dbb.shape[0] if n_valid is None else int(n_valid)
     assert 0 < k <= n, f"k={k} exceeds the {n} database rows"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    q_pm1 = unpack_pm1(qbytes).astype(jnp.int8)   # int8 MXU contraction
-    fmax = _bits_finemax_phase1(q_pm1, dbb, n, tile_rows, interpret)
+    # Mosaic miscompiles sub-8-row dots (see rank_topk_fused): pad
+    # queries to one sublane tile and slice the answer
+    nq = qp.shape[0]
+    if nq < 8:
+        qp = jnp.concatenate(
+            [qp, jnp.zeros((8 - nq, qp.shape[1]), qp.dtype)])
+    fmax = _bits_finemax_phase1(qp, dbb, n, tile_rows, interpret)
     bids, vmask = _hier_select(fmax, k, tile_rows, n)
-    return _bits_finish(qbytes, dbb, bids, vmask, k, n)
+    vals, idxs = _bits_finish(qp, dbb, bids, vmask, k, n)
+    return vals[:nq], idxs[:nq]

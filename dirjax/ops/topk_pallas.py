@@ -635,12 +635,26 @@ def rank_topk_fused(qdescs, db_descs, k: int, *, tile_rows: Optional[int] = None
     # auto-derive past it (4 MiB / bytes_per_row), so clamp here
     tile_rows = min(tile_rows, 128 * 128,
                     max(256, db.shape[0] // 256 * 256) or 256)
+    # Mosaic miscompiles the phase-1 dot below 8 query rows ('vector.
+    # broadcast' bf16->f32 verification error — found when the server
+    # warmup first exercised the nq=1 bucket on chip, r4). Pad queries
+    # to a full sublane tile and slice the answer: 8/N extra MXU work.
+    nq = q.shape[0]
+    if nq < 8:
+        q = jnp.concatenate(
+            [q, jnp.zeros((8 - nq, q.shape[1]), q.dtype)])
+        if qscales is not None:
+            qscales = jnp.concatenate(
+                [qscales.reshape(1, -1),
+                 jnp.ones((1, 8 - nq), jnp.float32)], axis=1)
     # the hierarchical path trades the in-kernel O(k*Nq*tile) selection loop
     # for O(Nq*tile/128) reduction work + a tiny recompute; the in-kernel
     # iterative selection wins for small k (no second pass at all)
     if db.shape[0] >= tile_rows and tile_rows % 128 == 0 and \
             (k > 16 or quantized):
-        return _hierarchical(q, db, k, tile_rows,
-                             scales if quantized else None, qscales)
-    return _fused(q, db, k, min(tile_rows, db.shape[0]),
-                  jax.default_backend() != "tpu")
+        vals, idxs = _hierarchical(q, db, k, tile_rows,
+                                   scales if quantized else None, qscales)
+    else:
+        vals, idxs = _fused(q, db, k, min(tile_rows, db.shape[0]),
+                            jax.default_backend() != "tpu")
+    return vals[:nq], idxs[:nq]

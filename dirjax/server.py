@@ -188,6 +188,35 @@ class DynamicBatcher:
         self.stats["batches"] += 1
         self.stats["batched_rows"] += off
 
+    def warmup(self, k: int = 10, **opts) -> None:
+        """Pre-compile every query-count bucket this batcher can emit for
+        one ``(k, opts)`` signature, then clear the latency window.
+
+        Coalesced batches land on arbitrary row counts <= ``max_batch``;
+        the index pads them to its ``NQ_BUCKETS`` ladder, and each bucket's
+        FIRST search pays an XLA compile — minutes through the dev tunnel.
+        Without warmup those compiles land on live traffic (measured: a
+        16-client benchmark sank from 6.6k to 0.9k QPS with p99 8.8 s
+        because buckets 32/64/128 compiled mid-run). Call once per
+        signature a deployment will serve."""
+        dim = self.index.dim
+        buckets = [b for b in getattr(self.index, "NQ_BUCKETS",
+                                      (1, self.max_batch))
+                   if b <= self.max_batch]
+        if self.max_batch not in buckets:
+            buckets.append(self.max_batch)
+        rng = np.random.default_rng(0)
+        for b in buckets:
+            self.index.search(rng.standard_normal((b, dim), np.float32),
+                              k=k, **opts)
+        self.reset_latency_stats()
+
+    def reset_latency_stats(self) -> None:
+        """Drop the latency window (e.g. after :meth:`warmup`, whose
+        compile-bound searches would otherwise dominate the percentiles)."""
+        with self._lat_lock:
+            self._latencies.clear()
+
     def latency_stats(self) -> Dict[str, float]:
         """Submit->result latency percentiles (ms) over the most recent
         requests (10k-deep window). Empty dict before the first result."""
@@ -415,6 +444,11 @@ def main(argv: Optional[list] = None):
                              "co-travellers")
     parser.add_argument("--gpu", type=int, default=0, nargs="+",
                         help="-1 forces CPU")
+    parser.add_argument("--warmup-k", type=int, default=None, metavar="K",
+                        help="pre-compile every batch-size bucket for "
+                             "top-K searches before accepting traffic "
+                             "(first-bucket compiles otherwise land on "
+                             "live requests)")
     args = parser.parse_args(argv)
 
     from .cli.common import setup_device
@@ -424,6 +458,10 @@ def main(argv: Optional[list] = None):
     index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch
     server = IndexServer(index, args.socket, max_batch=args.max_batch,
                          max_wait_ms=args.max_wait_ms)
+    if args.warmup_k is not None:
+        print(f"warming {type(index).__name__} buckets for k={args.warmup_k}"
+              " ...", flush=True)
+        server.batcher.warmup(k=args.warmup_k)
     print(f"serving {type(index).__name__} ({index.n} x {index.dim}) "
           f"on {server.address} (max_batch={args.max_batch}, "
           f"max_wait={args.max_wait_ms} ms)")

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.binary import (BinaryCodec, asym_rescore, binarize, fit_itq,
-                         hamming_topk, pad_for_search, project_queries)
+                         hamming_topk, project_queries)
 from .ops.ivf import (IVFArrays, bin_ivf, build_ivf, ivf_assign, ivf_topk,
                       unbin_ivf)
 from .ops.pq import (encode_pq, pq_lookup, pq_topk, reconstruct_pq,
@@ -480,10 +480,10 @@ class BinaryIndex(_Tombstones):
 
     def _rank(self, qp, k: int):
         """Packed-Hamming top-k over the resident codes: the Pallas MXU
-        unpack-matmul kernel on TPU (hamming_topk_mxu — 23.6k QPS phase-1
-        ceiling at 1M x 2048 bits vs the 7.1k popcount scan, PERF_NOTES
-        binary section), the XLA scan elsewhere (interpret-mode Pallas
-        would crawl on CPU)."""
+        unpack-matmul kernel on TPU (hamming_topk_mxu — 7.6 ms / 33.7k
+        QPS phase-1 ceiling at 1M x 2048 bits nq=256 vs the scan's
+        36.2 ms, PERF_NOTES binary section), the XLA scan elsewhere
+        (interpret-mode Pallas would crawl on CPU)."""
         from .ops.binary import hamming_topk_mxu
 
         if jax.default_backend() == "tpu":

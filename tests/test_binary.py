@@ -122,6 +122,22 @@ class TestHammingMxu:
         got = np.take_along_axis(oracle, idxs, axis=1)
         np.testing.assert_array_equal(got, vals.astype(np.int64))
 
+    def test_single_query_padded(self, rng):
+        """nq < 8 pads to one sublane tile (Mosaic miscompiles sub-8-row
+        dots — 'vector.broadcast' verification error, found on chip by
+        the server warmup's nq=1 bucket, r4)."""
+        from dirjax.ops.binary import bytes_for_search, hamming_topk_mxu
+
+        dbp = _rand_codes(rng, 600, 4)
+        qp = jnp.asarray(dbp[:1])
+        vals, idxs = hamming_topk_mxu(qp, bytes_for_search(dbp), 5,
+                                      n_valid=600)
+        assert vals.shape == (1, 5) and int(vals[0, 0]) == 128
+        oracle = _oracle_sims(np.asarray(qp), dbp)
+        np.testing.assert_array_equal(
+            np.asarray(vals[0]).astype(np.int64),
+            -np.sort(-oracle[0])[:5])
+
     def test_byte_layout_scan_parity(self, rng):
         """The scan path accepts the byte layout (uint8 corpus + uint32
         queries auto-convert) and matches the uint32 result bit-for-bit —

@@ -95,6 +95,27 @@ class TestHierarchicalTopK:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(idxs), np.asarray(want_idxs))
 
+    @pytest.mark.parametrize("nq", [1, 3, 7])
+    def test_sub_sublane_query_counts_padded(self, rng, nq):
+        """nq < 8 must pad to one sublane tile through rank_topk_fused:
+        Mosaic miscompiles sub-8-row phase-1 dots ('vector.broadcast'
+        bf16->f32 verification error, hit on chip by the server
+        warmup's nq=1 bucket, r4) — and the answer must still be the
+        un-padded query count."""
+        from dirjax.ops.topk_pallas import rank_topk_fused
+
+        d, nd, k = 128, 2048, 20
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        db = rng.normal(size=(nd, d)).astype(np.float32)
+        vals, idxs = rank_topk_fused(jnp.asarray(q), jnp.asarray(db), k,
+                                     use_pallas=True)
+        assert vals.shape == (nq, k)
+        want_vals, want_idxs = jax.lax.top_k(jnp.asarray(q @ db.T), k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(want_vals),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idxs),
+                                      np.asarray(want_idxs))
+
     def test_adversarial_one_fine_block_holds_all(self, rng):
         """All top-k concentrated in a single fine block (one consecutive
         8-row range) — the worst case for the containment argument."""

@@ -224,6 +224,17 @@ class TestIndexServer:
         assert 0.0 < lat["p50_ms"] <= lat["p99_ms"] <= lat["max_ms"]
         batcher.close()
 
+    def test_warmup_compiles_buckets_and_resets_stats(self):
+        index, x = _index()
+        batcher = DynamicBatcher(index, max_batch=16, max_wait_ms=0.0)
+        batcher.warmup(k=3)          # every bucket <= max_batch + 16
+        assert batcher.latency_stats() == {}   # window cleared
+        vals, idxs = batcher.search(x[:2], k=3)
+        assert idxs.shape == (2, 3) and batcher.latency_stats()
+        batcher.reset_latency_stats()
+        assert batcher.latency_stats() == {}
+        batcher.close()
+
     def test_cli_main_serves_ivf_index(self, tmp_path):
         from dirjax.cli.index import main as index_main
         from dirjax.server import main as serve_main
