@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "train_pq", "encode_pq", "pq_lookup", "pq_scores", "pq_topk",
-    "reconstruct_pq", "train_opq",
+    "pq_pad_codes", "reconstruct_pq", "train_opq",
 ]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -472,7 +472,8 @@ def _adc_finemax_pallas(luts_flat_t, codes_pad, n_valid: int,
 
 def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
             block: int = _BLOCK, compute_dtype=None,
-            use_pallas: Optional[bool] = None
+            use_pallas: Optional[bool] = None,
+            n_valid: Optional[int] = None
             ) -> Tuple[jax.Array, jax.Array]:
     """Streaming ADC top-k: (values, indices) of the best ``k`` rows per
     query; ``-inf``/-1 pad past the corpus when k > N.
@@ -483,12 +484,19 @@ def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
     never the (nq, N) matrix) and only k*``block`` candidate rows are
     ever rescored. ``compute_dtype=jnp.bfloat16`` runs the contraction
     ~3x faster on the TPU MXU at ~0.4% score noise (:func:`_adc_modes`).
+
+    ``n_valid``: pass the true row count when ``codes`` is already padded
+    with junk rows past it (:func:`pq_pad_codes`). Skips the per-call pad
+    concatenation — which outside jit is an extra eager dispatch AND a
+    transient full copy of the codes (3+ GB at capacity scale); padded
+    rows never appear in results.
     """
     codes = jnp.asarray(codes)
-    n = codes.shape[0]
+    n = codes.shape[0] if n_valid is None else int(n_valid)
+    assert n <= codes.shape[0], (n, codes.shape)
     dt_name = jnp.dtype(_adc_modes(compute_dtype)[0]).name
     if n <= max(4096, 2 * k * block):   # hierarchy can't pay for itself
-        pad = (-n) % 256
+        pad = (-codes.shape[0]) % 256
         codes_pad = jnp.concatenate(
             [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)]) \
             if pad else codes
@@ -500,8 +508,8 @@ def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
                            constant_values=-jnp.inf)
             idxs = jnp.pad(idxs, ((0, 0), (0, short)), constant_values=-1)
         return vals, idxs
-    chunk = max(block, (min(chunk, n) // block) * block)
-    pad = (-n) % chunk
+    chunk = max(block, (min(chunk, codes.shape[0]) // block) * block)
+    pad = (-codes.shape[0]) % chunk
     if pad:
         codes = jnp.concatenate(
             [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)])
@@ -520,6 +528,27 @@ def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
                              dt_name, phase_a=phase_a, n_static=n)
     return _pq_topk_hier(luts, codes, jnp.int32(n), k, chunk, block,
                          dt_name)
+
+
+def pq_pad_codes(codes, *, chunk: int = 131072
+                 ) -> Tuple[jax.Array, int]:
+    """Pad (N, m) codes once to :func:`pq_topk`'s streaming geometry.
+
+    Returns ``(codes_padded, n_valid)`` for ``pq_topk(..., n_valid=)``.
+    Serving indexes store the padded array so no search ever re-pads —
+    per call that concat is an extra eager dispatch and a transient full
+    copy of the codes in HBM (33 MB at 1M rows, 3+ GB at capacity
+    scale). Large corpora pad to the scan ``chunk`` (at most ~4 MB of
+    junk rows); small ones to the dense path's 256 (the scan geometry
+    recomputes from the padded shape, so a 256-multiple stays legal for
+    the hierarchy too)."""
+    codes = jnp.asarray(codes)
+    n = codes.shape[0]
+    pad = (-n) % (chunk if n > 32768 else 256)
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, codes.shape[1]), codes.dtype)])
+    return codes, n
 
 
 def reconstruct_pq(codes, codebooks):

@@ -15,6 +15,7 @@ like for a deployed system:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -25,8 +26,8 @@ from .ops.binary import (BinaryCodec, asym_rescore, binarize, fit_itq,
                          hamming_topk, project_queries)
 from .ops.ivf import (IVFArrays, bin_ivf, build_ivf, ivf_assign, ivf_topk,
                       unbin_ivf)
-from .ops.pq import (encode_pq, pq_lookup, pq_topk, reconstruct_pq,
-                     train_opq, train_pq)
+from .ops.pq import (encode_pq, pq_lookup, pq_pad_codes, pq_topk,
+                     reconstruct_pq, train_opq, train_pq)
 from .ops.qe import expand_queries_chunked
 from .ops.topk_pallas import quantize_db, rank_topk_fused
 
@@ -38,6 +39,50 @@ def _rotate_rows(x, r):
     bf16-truncated on TPU (CLAUDE.md) and the noise lands directly in
     the ADC lookup tables / stored codes."""
     return jnp.matmul(x, r, precision=jax.lax.Precision.HIGHEST)
+
+
+def _adc_body(q, rotation, codebooks, codes, k, n_valid, dt):
+    if rotation is not None:
+        q = _rotate_rows(q, rotation)
+    luts = pq_lookup(q, codebooks)
+    cdt = None if dt == "float32" else jnp.dtype(dt).type
+    return pq_topk(luts, codes, k, compute_dtype=cdt, n_valid=n_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_valid", "dt"))
+def _fused_adc_topk(q, rotation, codebooks, codes, *, k: int,
+                    n_valid: int, dt: str):
+    """ONE device dispatch for rotate -> LUT build -> streaming ADC
+    top-k. Eagerly these are 3-4 separate dispatches plus a per-call
+    codes pad-concat (a transient full copy of the code array in HBM);
+    through the dev tunnel each eager dispatch adds ~30 ms of round-trip
+    latency (PERF_NOTES "Index server"), and even on production PCIe
+    every dispatch is host work on the serving path. ``codes`` must be
+    pre-padded (:func:`dirjax.ops.pq_pad_codes`)."""
+    return _adc_body(q, rotation, codebooks, codes, k, n_valid, dt)
+
+
+@functools.partial(jax.jit, static_argnames=("base", "k", "n_valid", "dt"))
+def _fused_adc_rerank(q, rotation, codebooks, codes, rdb, rscales, *,
+                      base: int, k: int, n_valid: int, dt: str):
+    """:func:`_fused_adc_topk` plus the exact int8 rescore of the top
+    ``base`` ADC candidates, still one dispatch. The rescore gathers
+    ``base`` rows/query from HBM — the only row-level traffic — and
+    scores the UNROTATED query against them (int8 rows live in the
+    original descriptor space); invalid candidates (-1 past a tiny
+    corpus) mask to -inf."""
+    vals, idxs = _adc_body(q, rotation, codebooks, codes, base, n_valid,
+                           dt)
+    safe = jnp.maximum(idxs, 0)
+    rows = jnp.take(rdb, safe, axis=0).astype(jnp.float32)
+    rows = rows * jnp.take(rscales.reshape(-1), safe)[:, :, None]
+    scores = jnp.einsum("qd,qkd->qk", q, rows,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(idxs >= 0, scores, -jnp.inf)
+    kk = min(k, scores.shape[1])
+    vals, pos = jax.lax.top_k(scores, kk)
+    return vals, jnp.take_along_axis(idxs, pos, axis=1)
 
 
 class _Tombstones:
@@ -677,7 +722,7 @@ class PQIndex(_Tombstones):
         if rerank:
             self._rerank_db, self._rerank_scales = quantize_db(descriptors)
         if mesh is None:
-            self._codes = codes
+            self._codes, _ = pq_pad_codes(codes)
         else:
             from .parallel.ranking import shard_codes
 
@@ -685,6 +730,11 @@ class PQIndex(_Tombstones):
 
     m = property(lambda self: int(self.codebooks.shape[0]))
     ksub = property(lambda self: int(self.codebooks.shape[1]))
+
+    @property
+    def _dt(self) -> str:
+        return "float32" if self.compute_dtype is None \
+            else jnp.dtype(self.compute_dtype).name
 
     @classmethod
     def from_codes(cls, codebooks, codes, *,
@@ -715,7 +765,7 @@ class PQIndex(_Tombstones):
         if not isinstance(codes, jax.Array):
             codes = jnp.asarray(codes)
         if mesh is None:
-            self._codes = codes
+            self._codes, _ = pq_pad_codes(codes)
         else:
             from .parallel.ranking import shard_codes
 
@@ -754,18 +804,27 @@ class PQIndex(_Tombstones):
         pad = self._tomb_pad() if self.n_removed else 0
         base = max(k * rerank_factor, k) \
             if self._rerank_db is not None else k
-        vals, idxs = self._adc_topk(q, min(base + pad, self.n))
-        if self._rerank_db is not None:
-            vals, idxs = self._rerank(q, idxs, k + pad)
+        kk = min(base + pad, self.n)
+        if self.mesh is None and self._rerank_db is not None:
+            # one dispatch: ADC + candidate gather + exact int8 rescore
+            vals, idxs = _fused_adc_rerank(
+                q, self.rotation, self.codebooks, self._codes,
+                self._rerank_db, self._rerank_scales,
+                base=kk, k=k + pad, n_valid=self.n, dt=self._dt)
+        else:
+            vals, idxs = self._adc_topk(q, kk)
+            if self._rerank_db is not None:
+                vals, idxs = self._rerank(q, idxs, k + pad)
         if pad:
             vals, idxs = self._tomb_filter(vals, idxs, k)
         return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
 
     def _adc_topk(self, q, k: int):
+        if self.mesh is None:   # one fused dispatch, pre-padded codes
+            return _fused_adc_topk(q, self.rotation, self.codebooks,
+                                   self._codes, k=k, n_valid=self.n,
+                                   dt=self._dt)
         luts = pq_lookup(self._rotate(q), self.codebooks)
-        if self.mesh is None:
-            return pq_topk(luts, self._codes, k,
-                           compute_dtype=self.compute_dtype)
         from .parallel.ranking import sharded_pq_topk
 
         return sharded_pq_topk(luts, self._codes, k, self.mesh,
@@ -822,7 +881,8 @@ class PQIndex(_Tombstones):
                 "index carries keys: add() needs one key per new row"
         new_codes = self._encode(new)
         if self.mesh is None:
-            codes = jnp.concatenate([self._codes, new_codes])
+            codes, _ = pq_pad_codes(
+                jnp.concatenate([self._codes[: self.n], new_codes]))
         else:
             from .parallel.ranking import shard_codes
 
@@ -843,7 +903,8 @@ class PQIndex(_Tombstones):
     def _compact_rows(self, keep_idx: np.ndarray) -> None:
         gather = jnp.asarray(keep_idx)
         if self.mesh is None:
-            self._codes = jnp.take(self._codes, gather, axis=0)
+            self._codes, _ = pq_pad_codes(
+                jnp.take(self._codes, gather, axis=0))
         else:
             from .parallel.ranking import shard_codes
 
@@ -897,7 +958,7 @@ class PQIndex(_Tombstones):
         idx._rerank_db = jnp.asarray(db_i8) if rerank else None
         idx._rerank_scales = jnp.asarray(scales) if rerank else None
         if mesh is None:
-            idx._codes = jnp.asarray(codes)
+            idx._codes, _ = pq_pad_codes(jnp.asarray(codes))
         else:
             from .parallel.ranking import shard_codes
 

@@ -116,6 +116,46 @@ class TestADC:
         for row in np.asarray(idxs):   # no duplicate candidates
             assert len(set(row.tolist())) == len(row)
 
+    def test_prepadded_n_valid_matches_unpadded(self, clustered):
+        """pq_pad_codes + n_valid (the serving indexes' zero-copy path)
+        must return exactly what per-call padding returns — padded junk
+        rows can never surface, on the dense path or the hierarchy."""
+        from dirjax.ops.pq import pq_pad_codes
+
+        db, q = clustered
+        cb = train_pq(db, m=4, ksub=16, iters=6)
+        codes = encode_pq(db, cb)
+        luts = pq_lookup(q, cb)
+        padded, n = pq_pad_codes(codes)
+        assert n == len(db) and padded.shape[0] % 256 == 0
+        for kw in ({}, {"chunk": 128, "block": 8}):   # dense + hierarchy
+            v0, i0 = pq_topk(luts, codes, k=10, **kw)
+            v1, i1 = pq_topk(luts, padded, k=10, n_valid=n, **kw)
+            np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                                       atol=1e-6)
+            assert np.asarray(i1).max() < n
+
+    def test_fused_search_matches_eager_stages(self, clustered):
+        """PQIndex.search (one fused jit dispatch) == rotate/lookup/topk
+        composed eagerly, including the OPQ rotation and int8 rerank."""
+        db, q = clustered
+        index = PQIndex(db, m=4, ksub=16, opq=True, rerank=True,
+                        train_iters=6, seed=0)
+        vals, idxs = index.search(q, k=5, rerank_factor=3)
+        luts = pq_lookup(
+            jnp.matmul(jnp.asarray(q), index.rotation,
+                       precision=jax.lax.Precision.HIGHEST),
+            index.codebooks)
+        av, ai = pq_topk(luts, index._codes, k=15, n_valid=index.n)
+        rows = np.asarray(index._rerank_db)[np.asarray(ai)].astype(
+            np.float32)
+        rows *= np.asarray(index._rerank_scales).reshape(-1)[
+            np.asarray(ai)][:, :, None]
+        scores = np.einsum("qd,qkd->qk", q, rows)
+        order = np.argsort(-scores, axis=1)[:, :5]
+        expect = np.take_along_axis(scores, order, axis=1)
+        np.testing.assert_allclose(vals, expect, rtol=2e-5, atol=1e-5)
+
     def test_hierarchical_deep_pyramid_ragged(self, rng):
         """> 4096 fine blocks forces a multi-level pyramid; a ragged row
         count exercises every pad/mask path."""
