@@ -17,11 +17,14 @@ SURVEY.md §6): PyTorch fp32 on a V100 runs ResNet-101 GeM extraction at
 target on this one-chip harness.
 
 Measurement notes for this harness:
-* host<->device transfers ride a slow tunnel (~8 MB/s) — all benchmark data
-  is generated on device;
-* a device round-trip costs ~30 ms — timing runs N iterations inside one
-  jitted fori_loop with a data dependence between iterations so XLA cannot
-  collapse them, and divides by N;
+* host<->device transfers ride a tunnel whose cost is ROUND-TRIP dominated
+  and state-dependent: a quiet stream moves 2 MB in ~1.8 ms (~1 GB/s), a
+  busy one serializes ~43 ms per upload and ~28 ms per result pull
+  (PERF_NOTES "Index server", r4) — all benchmark data is still generated
+  on device and pulls are kept off timed paths;
+* a blocking device round-trip costs ~30 ms — timing runs N iterations
+  inside one jitted fori_loop with a data dependence between iterations so
+  XLA cannot collapse them, and divides by N;
 * the persistent compilation cache is enabled so repeat runs skip the
   (potentially multi-minute) tunnel compiles.
 """
@@ -419,14 +422,16 @@ def bench_binary_device_ms(n_db: int = 1_000_000, n_bits: int = 2048,
 
 def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
                      n_clients: int = 16, rows_per_req: int = 16,
-                     n_req: int = 96, k: int = 100):
+                     n_req: int = 96, k: int = 100, pipeline: int = 3):
     """End-to-end index-server throughput: N client threads, each with
     its own socket, firing ``rows_per_req``-row requests at an
     IndexServer over a Unix socket; the DynamicBatcher coalesces them
-    into 256-row device dispatches. THE number that justifies the
+    into 256-row device dispatches (``pipeline`` of them in flight at
+    once — PERF_NOTES "Index server"). THE number that justifies the
     server's existence: socket-to-socket QPS vs the in-process eager
-    number and the device-slope ceiling (PERF_NOTES). Returns
-    ``(qps, latency_stats_dict)``."""
+    number and the device-slope ceiling (PERF_NOTES). On THIS harness
+    the floor is tunnel round trips (~60 ms/batch at 4 workers), not
+    dirjax. Returns ``(qps, latency_stats_dict)``."""
     import tempfile
     import threading
 
@@ -447,7 +452,8 @@ def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
         index = RetrievalIndex(db, dtype=jnp.bfloat16)
 
     path = tempfile.mktemp(prefix="dirjax-bench-", suffix=".sock")
-    server = IndexServer(index, path, max_batch=256, max_wait_ms=4.0)
+    server = IndexServer(index, path, max_batch=256, max_wait_ms=4.0,
+                         pipeline=pipeline)
     st = threading.Thread(target=server.serve_forever, daemon=True)
     st.start()
 
@@ -720,12 +726,15 @@ def main():
 
     try:
         # socket-to-socket serving: 16 client threads x 16-row requests
-        # coalesced by the DynamicBatcher into 256-row device dispatches
+        # coalesced by the DynamicBatcher into 256-row device dispatches,
+        # 3 batches in flight (pipeline) vs the serial batcher baseline
         qps, lat = bench_server_qps(kind="pq")
         extras["server_qps_pq_1M_16cl_16rows"] = round(qps, 1)
         for p in ("p50_ms", "p99_ms"):
             if p in lat:
                 extras[f"server_pq_{p}"] = round(lat[p], 2)
+        qps, _ = bench_server_qps(kind="pq", n_req=48, pipeline=1)
+        extras["server_qps_pq_1M_16cl_16rows_serial"] = round(qps, 1)
     except Exception as e:
         extras["server_pq_error"] = str(e)[:120]
 

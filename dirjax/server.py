@@ -37,7 +37,7 @@ import struct
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -80,11 +80,22 @@ class DynamicBatcher:
     max_wait_ms:
         latency bound — the oldest pending request never waits longer
         than this for co-travellers before dispatch.
+    pipeline:
+        batches dispatched concurrently (worker threads). A synchronous
+        batcher pays the FULL submit->result round trip per batch —
+        upload, dispatch latency, device time, result pull — serially;
+        with ``pipeline`` workers, batch N+1's upload/dispatch overlaps
+        batch N's device time and pulls, so sustained throughput
+        approaches the device/dispatch *throughput* rather than its
+        *latency* (JAX dispatch is async and thread-safe; XLA serializes
+        the actual device work). Measured through the dev tunnel, where
+        round-trip latency is ~30 ms/dispatch: see PERF_NOTES "Index
+        server". 1 restores the strictly serial batcher.
     """
 
     def __init__(self, index, max_batch: int = 256,
-                 max_wait_ms: float = 2.0):
-        assert max_batch >= 1 and max_wait_ms >= 0.0
+                 max_wait_ms: float = 2.0, pipeline: int = 3):
+        assert max_batch >= 1 and max_wait_ms >= 0.0 and pipeline >= 1
         self.index = index
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1e3
@@ -96,9 +107,12 @@ class DynamicBatcher:
         self.stats = {"requests": 0, "rows": 0, "batches": 0,
                       "batched_rows": 0}
         # submit->result latency of the most recent requests (ms);
-        # written by the dispatcher thread, snapshotted under _lat_lock
+        # written by the dispatch workers, snapshotted under _lat_lock
         self._latencies = deque(maxlen=10_000)
         self._lat_lock = threading.Lock()
+        self._pool = ThreadPoolExecutor(
+            max_workers=int(pipeline),
+            thread_name_prefix="dirjax-dispatch") if pipeline > 1 else None
         self._thread = threading.Thread(
             target=self._loop, name="dirjax-batcher", daemon=True)
         self._thread.start()
@@ -235,8 +249,13 @@ class DynamicBatcher:
             drain = self._stopping
             ready, deadline = self._take_ready(drain)
             for _, requests in ready:
-                self._dispatch(requests)
+                if self._pool is not None:
+                    self._pool.submit(self._dispatch, requests)
+                else:
+                    self._dispatch(requests)
             if drain and not ready:
+                if self._pool is not None:   # flush in-flight batches
+                    self._pool.shutdown(wait=True)
                 return
             if ready:            # more work may already be due
                 continue
@@ -296,9 +315,10 @@ class IndexServer:
     """
 
     def __init__(self, index, socket_path: str, max_batch: int = 256,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, pipeline: int = 3):
         self.batcher = DynamicBatcher(index, max_batch=max_batch,
-                                      max_wait_ms=max_wait_ms)
+                                      max_wait_ms=max_wait_ms,
+                                      pipeline=pipeline)
         family, bind_to = _parse_addr(socket_path)
         self.socket_path = socket_path if family == socket.AF_UNIX else None
         if self.socket_path and os.path.exists(self.socket_path):
@@ -442,6 +462,11 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--max-wait-ms", type=float, default=2.0,
                         help="max time the oldest request waits for "
                              "co-travellers")
+    parser.add_argument("--pipeline", type=int, default=3,
+                        help="batches in flight on the device at once "
+                             "(1 = strictly serial dispatch; >1 overlaps "
+                             "batch N+1's upload/dispatch with batch N's "
+                             "device time and result pull)")
     parser.add_argument("--gpu", type=int, default=0, nargs="+",
                         help="-1 forces CPU")
     parser.add_argument("--warmup-k", type=int, default=None, metavar="K",
@@ -457,7 +482,8 @@ def main(argv: Optional[list] = None):
 
     index = RetrievalIndex.load(args.index)   # PQ/IVF auto-dispatch
     server = IndexServer(index, args.socket, max_batch=args.max_batch,
-                         max_wait_ms=args.max_wait_ms)
+                         max_wait_ms=args.max_wait_ms,
+                         pipeline=args.pipeline)
     if args.warmup_k is not None:
         print(f"warming {type(index).__name__} buckets for k={args.warmup_k}"
               " ...", flush=True)

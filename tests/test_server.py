@@ -50,6 +50,40 @@ class TestDynamicBatcher:
         assert batcher.stats["batched_rows"] == batcher.stats["rows"]
         batcher.close()
 
+    def test_pipelined_matches_serial(self):
+        """pipeline>1 dispatches batches on concurrent workers; every
+        request must still get exactly its own slice, identical to the
+        strictly serial batcher."""
+        index, x = _index(n=96)
+        serial = DynamicBatcher(index, max_batch=16, max_wait_ms=0.0,
+                                pipeline=1)
+        piped = DynamicBatcher(index, max_batch=16, max_wait_ms=0.0,
+                               pipeline=4)
+        rng = np.random.default_rng(7)
+        reqs = [x[rng.integers(0, len(x), size=rng.integers(1, 6))]
+                for _ in range(40)]
+        f_s = [serial.submit(q, k=4) for q in reqs]
+        f_p = [piped.submit(q, k=4) for q in reqs]
+        for q, fs, fp in zip(reqs, f_s, f_p):
+            vs, is_ = fs.result(timeout=60)
+            vp, ip = fp.result(timeout=60)
+            np.testing.assert_array_equal(is_, ip)
+            np.testing.assert_allclose(vs, vp, atol=1e-6)
+            assert vp.shape == (len(q), 4)
+        assert piped.stats["batched_rows"] == piped.stats["rows"]
+        piped.close()
+        serial.close()
+
+    def test_pipelined_close_flushes_inflight(self):
+        index, x = _index()
+        b = DynamicBatcher(index, max_batch=4, max_wait_ms=50.0,
+                           pipeline=3)
+        futs = [b.submit(x[i:i + 2], k=3) for i in range(0, 20, 2)]
+        b.close()   # must resolve every future, not drop in-flight work
+        for f in futs:
+            vals, idxs = f.result(timeout=5)
+            assert vals.shape == (2, 3)
+
     def test_signatures_batch_separately(self):
         index, x = _index()
         batcher = DynamicBatcher(index, max_batch=8, max_wait_ms=40.0)
