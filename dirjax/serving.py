@@ -62,6 +62,37 @@ def _fused_adc_topk(q, rotation, codebooks, codes, *, k: int,
     return _adc_body(q, rotation, codebooks, codes, k, n_valid, dt)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "dt"))
+def _fused_ivf_topk(q, rotation, codebooks, ivf, *, k: int, nprobe: int,
+                    dt: str):
+    """One dispatch for rotate -> residual LUTs -> IVF probe + ADC top-k
+    (same rationale as :func:`_fused_adc_topk`). ``ivf`` is the
+    :class:`dirjax.ops.ivf.IVFArrays` NamedTuple (a jit-friendly pytree
+    of device arrays)."""
+    from .ops.ivf import ivf_topk
+
+    qr = q if rotation is None else _rotate_rows(q, rotation)
+    luts = pq_lookup(qr, codebooks)
+    cdt = None if dt == "float32" else jnp.dtype(dt).type
+    return ivf_topk(luts, qr, ivf, k, nprobe=nprobe, compute_dtype=cdt)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fused_int8_rerank(q, rdb, rscales, idxs, *, k: int):
+    """Exact int8 rescore of a candidate shortlist as its own dispatch
+    (used where the candidates come from a separately-jitted stage)."""
+    safe = jnp.maximum(idxs, 0)
+    rows = jnp.take(rdb, safe, axis=0).astype(jnp.float32)
+    rows = rows * jnp.take(rscales.reshape(-1), safe)[:, :, None]
+    scores = jnp.einsum("qd,qkd->qk", q, rows,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(idxs >= 0, scores, -jnp.inf)
+    kk = min(k, scores.shape[1])
+    vals, pos = jax.lax.top_k(scores, kk)
+    return vals, jnp.take_along_axis(idxs, pos, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("base", "k", "n_valid", "dt"))
 def _fused_adc_rerank(q, rotation, codebooks, codes, rdb, rscales, *,
                       base: int, k: int, n_valid: int, dt: str):
@@ -1039,9 +1070,6 @@ class IVFPQIndex(_Tombstones):
         return q if self.rotation is None \
             else _rotate_rows(q, self.rotation)
 
-    # exact int8 shortlist rescore: identical contract to PQIndex's
-    _rerank = PQIndex._rerank
-
     # --- search ---------------------------------------------------------
     def search(self, queries, k: int = 10, *, nprobe: Optional[int] = None,
                rerank_factor: int = 4, aqe: Optional[dict] = None
@@ -1070,16 +1098,19 @@ class IVFPQIndex(_Tombstones):
         if aqe:
             q = self._expand_queries(q, k=aqe["k"], alpha=aqe["alpha"],
                                      nprobe=nprobe)
-        qr = self._rotate(q)
-        luts = pq_lookup(qr, self.codebooks)
         pad = self._tomb_pad() if self.n_removed else 0
         k_eff = (max(k * rerank_factor, k)
                  if self._rerank_db is not None else k) + pad
-        vals, idxs = ivf_topk(luts, qr, self._ivf, min(k_eff, self.n),
-                              nprobe=nprobe,
-                              compute_dtype=self.compute_dtype)
+        dt = "float32" if self.compute_dtype is None \
+            else jnp.dtype(self.compute_dtype).name
+        # one dispatch: rotate -> residual LUTs -> probe + ADC top-k
+        # (serving._fused_adc_topk rationale; PERF_NOTES "Index server")
+        vals, idxs = _fused_ivf_topk(q, self.rotation, self.codebooks,
+                                     self._ivf, k=min(k_eff, self.n),
+                                     nprobe=int(nprobe), dt=dt)
         if self._rerank_db is not None:
-            vals, idxs = self._rerank(q, idxs, k + pad)
+            vals, idxs = _fused_int8_rerank(
+                q, self._rerank_db, self._rerank_scales, idxs, k=k + pad)
         if pad:
             vals, idxs = self._tomb_filter(vals, idxs, k)
         return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
