@@ -40,13 +40,14 @@ codes are standard retrieval practice the toolbox never grew.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["BinaryCodec", "fit_itq", "binarize", "project_queries",
+           "binarize_and_project",
            "unpack_pm1", "hamming_topk", "pad_for_search", "asym_rescore",
            "bytes_for_search", "hamming_topk_mxu"]
 
@@ -154,6 +155,27 @@ def project_queries(queries, codec: BinaryCodec) -> jnp.ndarray:
     only the database side)."""
     return jnp.matmul(jnp.asarray(queries, jnp.float32) - codec.mean,
                       codec.proj, precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _binarize_project(x, mean, proj):
+    """(packed codes, continuous projection) in ONE dispatch sharing ONE
+    centered (nq, D) x (D, bits) matmul — asym search needs both, and
+    eagerly :func:`binarize` + :func:`project_queries` each recompute it
+    as separate device round trips (PERF_NOTES "Index server")."""
+    v = jnp.matmul(x.astype(jnp.float32) - mean, proj,
+                   precision=jax.lax.Precision.HIGHEST)
+    bits = (v >= 0).astype(jnp.uint32)
+    w = bits.reshape(*bits.shape[:-1], bits.shape[-1] // 32, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(w << shifts, axis=-1, dtype=jnp.uint32), v
+
+
+def binarize_and_project(queries, codec: BinaryCodec
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused :func:`binarize` + :func:`project_queries` for query-side
+    encoding (identical outputs, one matmul, one dispatch)."""
+    return _binarize_project(jnp.asarray(queries), codec.mean, codec.proj)
 
 
 def _bits_per_word(codes) -> int:

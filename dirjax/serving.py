@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.binary import (BinaryCodec, asym_rescore, binarize, fit_itq,
-                         hamming_topk, project_queries)
+from .ops.binary import (BinaryCodec, asym_rescore, binarize,
+                         binarize_and_project, fit_itq, hamming_topk,
+                         project_queries)
 from .ops.ivf import (IVFArrays, bin_ivf, build_ivf, ivf_assign, ivf_topk,
                       unbin_ivf)
 from .ops.pq import (encode_pq, pq_lookup, pq_pad_codes, pq_topk,
@@ -589,21 +590,22 @@ class BinaryIndex(_Tombstones):
         if k > self.n:
             raise ValueError(f"k={k} exceeds the {self.n} database rows")
         qj = jnp.asarray(q)
-        qp = binarize(qj, self.codec)
+        if self.asym:   # one dispatch + one shared centered matmul
+            qp, vq = binarize_and_project(qj, self.codec)
+        else:
+            qp, vq = binarize(qj, self.codec), None
         pad = self._tomb_pad() if self.n_removed else 0
         if self.mesh is not None:
             from .parallel.ranking import sharded_hamming_topk
 
-            vq = project_queries(qj, self.codec) if self.asym else None
             vals, idxs = sharded_hamming_topk(
                 qp, self._codes, min(k + pad, self.n), self.mesh, self.n,
                 vq=vq, rerank_factor=rerank_factor)
         elif self.asym:
             kf = min(max(k * rerank_factor, k) + pad, self.n)
             _, cand = self._rank(qp, kf)
-            vals, idxs = _asym_rescore_impl(
-                project_queries(qj, self.codec), self._codes, cand,
-                min(k + pad, kf))
+            vals, idxs = _asym_rescore_impl(vq, self._codes, cand,
+                                            min(k + pad, kf))
         else:
             vals, idxs = self._rank(qp, min(k + pad, self.n))
         if pad:

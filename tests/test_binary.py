@@ -44,6 +44,22 @@ class TestPacking:
                 got = (packed[:, w] >> b) & 1
                 np.testing.assert_array_equal(got, bits[:, 32 * w + b])
 
+    def test_binarize_and_project_matches_separate(self, rng):
+        """The fused query-side encoder (one shared centered matmul, one
+        dispatch) must reproduce binarize + project_queries exactly."""
+        from dirjax.ops.binary import binarize_and_project, project_queries
+
+        x = rng.normal(size=(9, 64)).astype(np.float32)
+        mean = rng.normal(size=64).astype(np.float32) * 0.1
+        q_proj, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+        codec = BinaryCodec(mean=jnp.asarray(mean),
+                            proj=jnp.asarray(q_proj, dtype=jnp.float32))
+        packed, v = binarize_and_project(x, codec)
+        np.testing.assert_array_equal(np.asarray(packed),
+                                      np.asarray(binarize(x, codec)))
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(project_queries(x, codec)))
+
     def test_unpack_pm1_roundtrip(self, rng):
         codes = _rand_codes(rng, 5, 3)
         pm1 = np.asarray(unpack_pm1(jnp.asarray(codes)))
