@@ -422,7 +422,8 @@ def bench_binary_device_ms(n_db: int = 1_000_000, n_bits: int = 2048,
 
 def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
                      n_clients: int = 16, rows_per_req: int = 16,
-                     n_req: int = 96, k: int = 100, pipeline: int = 3):
+                     n_req: int = 96, k: int = 100, pipeline: int = 3,
+                     upload_bf16: bool = False):
     """End-to-end index-server throughput: N client threads, each with
     its own socket, firing ``rows_per_req``-row requests at an
     IndexServer over a Unix socket; the DynamicBatcher coalesces them
@@ -453,7 +454,7 @@ def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
 
     path = tempfile.mktemp(prefix="dirjax-bench-", suffix=".sock")
     server = IndexServer(index, path, max_batch=256, max_wait_ms=4.0,
-                         pipeline=pipeline)
+                         pipeline=pipeline, upload_bf16=upload_bf16)
     st = threading.Thread(target=server.serve_forever, daemon=True)
     st.start()
 
@@ -735,6 +736,9 @@ def main():
                 extras[f"server_pq_{p}"] = round(lat[p], 2)
         qps, _ = bench_server_qps(kind="pq", n_req=48, pipeline=1)
         extras["server_qps_pq_1M_16cl_16rows_serial"] = round(qps, 1)
+        # host-side bf16 conversion: halves the upload-bandwidth term
+        qps, _ = bench_server_qps(kind="pq", n_req=48, upload_bf16=True)
+        extras["server_qps_pq_1M_16cl_16rows_bf16up"] = round(qps, 1)
     except Exception as e:
         extras["server_pq_error"] = str(e)[:120]
 

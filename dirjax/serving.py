@@ -42,6 +42,26 @@ def _rotate_rows(x, r):
     return jnp.matmul(x, r, precision=jax.lax.Precision.HIGHEST)
 
 
+@jax.jit
+def _pack_vi(vals, idxs):
+    """(vals, idxs) -> one (2, nq, k) f32 array (indices bitcast).
+
+    Each host pull is a blocking round trip (~36 ms fixed through the
+    dev tunnel regardless of size — PERF_NOTES "Index server"), so the
+    serving paths pull results in ONE transfer instead of two. The pack
+    itself is an async device dispatch that pipelines behind the search.
+    bf16 score values widen to f32 losslessly."""
+    return jnp.stack([vals.astype(jnp.float32),
+                      jax.lax.bitcast_convert_type(idxs.astype(jnp.int32),
+                                                   jnp.float32)])
+
+
+def _pull_vi(vals, idxs) -> Tuple[np.ndarray, np.ndarray]:
+    """Single-transfer host pull of a search result pair."""
+    p = np.asarray(_pack_vi(vals, idxs))
+    return p[0], p[1].view(np.int32)
+
+
 def _adc_body(q, rotation, codebooks, codes, k, n_valid, dt):
     if rotation is not None:
         q = _rotate_rows(q, rotation)
@@ -332,14 +352,14 @@ class RetrievalIndex(_Tombstones):
                 vals, idxs = rank_topk_fused(
                     q, self._db, k, db_scales=self._scales,
                     quantize_queries=getattr(self, "_int8_queries", False))
-                return np.asarray(vals), np.asarray(idxs)
+                return _pull_vi(vals, idxs)
             q = jnp.asarray(q, self.dtype)
             if aqe:
                 # chunked: never materializes the (Nq, Nd) similarity matrix
                 q = expand_queries_chunked(q, self._db, alpha=aqe["alpha"],
                                            k=aqe["k"]).astype(self.dtype)
             vals, idxs = rank_topk_fused(q, self._db, k)
-            return np.asarray(vals), np.asarray(idxs)
+            return _pull_vi(vals, idxs)
 
         from .parallel.ranking import sharded_aqe, sharded_topk
 
@@ -355,7 +375,7 @@ class RetrievalIndex(_Tombstones):
             db_scales=self._scales,
             quantize_queries=(self._scales is not None
                               and getattr(self, "_int8_queries", False)))
-        return np.asarray(vals), np.asarray(idxs)
+        return _pull_vi(vals, idxs)
 
     def add(self, descriptors, keys: Optional[Sequence[str]] = None) -> None:
         """Append rows to the index (keys too if the index carries keys).
@@ -577,7 +597,10 @@ class BinaryIndex(_Tombstones):
         continuous projected dot product — both sort descending like every
         other index tier. Hamming distances tie often: exact *values*,
         tie-broken indices."""
-        q = np.asarray(queries, np.float32)
+        q = np.asarray(queries)
+        if q.dtype.name != "bfloat16":   # bf16 passes through: the server's
+            q = q.astype(np.float32)     # upload_bf16 path halves the
+        #                                  host->device query bytes
         if q.ndim == 1:
             q = q[None, :]
         assert q.shape[1] == self.dim, \
@@ -586,7 +609,7 @@ class BinaryIndex(_Tombstones):
         bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
         if bucket != nq:
             q = np.concatenate(
-                [q, np.zeros((bucket - nq, self.dim), np.float32)])
+                [q, np.zeros((bucket - nq, self.dim), q.dtype)])
         if k > self.n:
             raise ValueError(f"k={k} exceeds the {self.n} database rows")
         qj = jnp.asarray(q)
@@ -608,9 +631,10 @@ class BinaryIndex(_Tombstones):
                                             min(k + pad, kf))
         else:
             vals, idxs = self._rank(qp, min(k + pad, self.n))
+        vals, idxs = _pull_vi(vals, idxs)   # ONE host transfer
         if pad:
             vals, idxs = self._tomb_filter(vals, idxs, k)
-        return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
+        return vals[:nq], idxs[:nq]
 
     # --- mutation ---------------------------------------------------------
     def add(self, descriptors, keys: Optional[Sequence[str]] = None) -> None:
@@ -821,7 +845,10 @@ class PQIndex(_Tombstones):
         ``aqe={'k':, 'alpha':}`` expands queries against centroid
         RECONSTRUCTIONS of their ADC neighbors (test_dir.py:24-44
         semantics in the compressed domain)."""
-        q = np.asarray(queries, np.float32)
+        q = np.asarray(queries)
+        if q.dtype.name != "bfloat16":   # bf16 passes through: the server's
+            q = q.astype(np.float32)     # upload_bf16 path halves the
+        #                                  host->device query bytes
         if q.ndim == 1:
             q = q[None, :]
         assert q.shape[1] == self.dim, \
@@ -830,7 +857,7 @@ class PQIndex(_Tombstones):
         bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
         if bucket != nq:
             q = np.concatenate(
-                [q, np.zeros((bucket - nq, self.dim), np.float32)])
+                [q, np.zeros((bucket - nq, self.dim), q.dtype)])
         q = jnp.asarray(q)
         if aqe:
             q = self._expand_queries(q, k=aqe["k"], alpha=aqe["alpha"])
@@ -848,9 +875,10 @@ class PQIndex(_Tombstones):
             vals, idxs = self._adc_topk(q, kk)
             if self._rerank_db is not None:
                 vals, idxs = self._rerank(q, idxs, k + pad)
+        vals, idxs = _pull_vi(vals, idxs)   # ONE host transfer
         if pad:
             vals, idxs = self._tomb_filter(vals, idxs, k)
-        return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
+        return vals[:nq], idxs[:nq]
 
     def _adc_topk(self, q, k: int):
         if self.mesh is None:   # one fused dispatch, pre-padded codes
@@ -1085,7 +1113,10 @@ class IVFPQIndex(_Tombstones):
         probed neighbors — the same test_dir.py:24-44 semantics
         :class:`PQIndex` applies in the compressed domain, probing the
         same ``nprobe`` cells as the main search."""
-        q = np.asarray(queries, np.float32)
+        q = np.asarray(queries)
+        if q.dtype.name != "bfloat16":   # bf16 passes through: the server's
+            q = q.astype(np.float32)     # upload_bf16 path halves the
+        #                                  host->device query bytes
         if q.ndim == 1:
             q = q[None, :]
         assert q.shape[1] == self.dim, \
@@ -1094,7 +1125,7 @@ class IVFPQIndex(_Tombstones):
         bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
         if bucket != nq:
             q = np.concatenate(
-                [q, np.zeros((bucket - nq, self.dim), np.float32)])
+                [q, np.zeros((bucket - nq, self.dim), q.dtype)])
         q = jnp.asarray(q)
         nprobe = nprobe or self.nprobe
         if aqe:
@@ -1113,9 +1144,10 @@ class IVFPQIndex(_Tombstones):
         if self._rerank_db is not None:
             vals, idxs = _fused_int8_rerank(
                 q, self._rerank_db, self._rerank_scales, idxs, k=k + pad)
+        vals, idxs = _pull_vi(vals, idxs)   # ONE host transfer
         if pad:
             vals, idxs = self._tomb_filter(vals, idxs, k)
-        return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
+        return vals[:nq], idxs[:nq]
 
     def _row_coding(self) -> Tuple[np.ndarray, np.ndarray]:
         """Per-row (cell assignment, residual codes) in original row

@@ -74,6 +74,47 @@ class TestDynamicBatcher:
         piped.close()
         serial.close()
 
+    def test_upload_bf16_matches_f32_on_bf16_index(self):
+        """Host-side bf16 conversion (halves query upload bytes) must be
+        a no-op for a bf16 index — its search casts queries to bf16
+        anyway."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((128, 32)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        index = RetrievalIndex(jnp.asarray(x, jnp.bfloat16),
+                               dtype=jnp.bfloat16)
+        plain = DynamicBatcher(index, max_batch=8, max_wait_ms=0.0)
+        bf16 = DynamicBatcher(index, max_batch=8, max_wait_ms=0.0,
+                              upload_bf16=True)
+        bf16.warmup(k=5)
+        q = x[:4] + 0.01 * rng.standard_normal((4, 32)).astype(np.float32)
+        v1, i1 = plain.search(q, k=5)
+        v2, i2 = bf16.search(q, k=5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6)
+        plain.close()
+        bf16.close()
+
+    def test_upload_bf16_pq_close_to_f32(self):
+        """For PQ the bf16 rounding lands before the LUT build — scores
+        must stay within the tier's own quantization noise."""
+        from dirjax.serving import PQIndex
+
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((400, 32)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        index = PQIndex(x, m=4, ksub=16, train_iters=5)
+        plain = DynamicBatcher(index, max_batch=8, max_wait_ms=0.0)
+        bf16 = DynamicBatcher(index, max_batch=8, max_wait_ms=0.0,
+                              upload_bf16=True)
+        v1, _ = plain.search(x[:4], k=5)
+        v2, _ = bf16.search(x[:4], k=5)
+        np.testing.assert_allclose(v1, v2, rtol=0.02, atol=0.02)
+        plain.close()
+        bf16.close()
+
     def test_pipelined_close_flushes_inflight(self):
         index, x = _index()
         b = DynamicBatcher(index, max_batch=4, max_wait_ms=50.0,
