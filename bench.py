@@ -577,6 +577,17 @@ def bench_train_step(n_iter: int = 8, batch: int = 16, size: int = 224,
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca["flops"])
+        if microbatch:
+            # XLA cost analysis counts a scan/map BODY once, not times
+            # its trip count, so the two-pass step's per-microbatch
+            # fwd and vjp passes under-report by batch/microbatch.
+            # Verified on-chip (r4): mb8 reported 2579 GF/step and mb16
+            # 5158 GF for the identical (b32, 512^2) job, both scaling
+            # to the same 10.3 TF real step = 4/3 x the whole-batch
+            # step's true-counted 242 GF/img — exactly the two-pass
+            # recompute factor. The non-scanned tail (loss grad, Adam)
+            # is <1% of step flops, so scaling everything is fine.
+            flops *= batch / microbatch
     except Exception:
         flops = float("nan")
     return {"img_per_sec": batch / sec,
