@@ -30,6 +30,7 @@ identical signatures.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import socket
@@ -381,47 +382,98 @@ class IndexServer:
             os.unlink(self.socket_path)
 
     def _handle(self, conn: socket.socket) -> None:
-        with conn:
+        # Pipelined per-connection protocol: the recv loop SUBMITS each
+        # request to the batcher without waiting for its result, and a
+        # per-connection sender thread writes responses back in request
+        # order as their futures resolve. One client can therefore keep
+        # many requests in flight on one socket (Client.search_async) —
+        # without this, a connection serializes on the full batch round
+        # trip per request and single-client throughput is bounded by
+        # latency, not the batcher (PERF_NOTES "Index server").
+        from queue import SimpleQueue
+
+        sendq: SimpleQueue = SimpleQueue()
+
+        def sender():
+            while True:
+                job = sendq.get()
+                if job is None:
+                    return
+                try:
+                    job()
+                except OSError:      # client went away mid-response
+                    return
+
+        st = threading.Thread(target=sender, daemon=True,
+                              name="dirjax-conn-sender")
+        st.start()
+
+        def respond(fut, want_keys):
+            try:
+                vals, idxs = fut.result()
+            except Exception as exc:
+                _send_frame(conn, {"error": f"{type(exc).__name__}: "
+                                            f"{exc}"})
+                return
+            keys = None
+            if want_keys:
+                try:
+                    keys = self.batcher.index.lookup(idxs)
+                except Exception as exc:
+                    _send_frame(conn, {"error": str(exc)})
+                    return
+            _send_frame(
+                conn, {"shape": list(vals.shape), "keys": keys},
+                np.ascontiguousarray(vals, np.float32).tobytes()
+                + np.ascontiguousarray(idxs, np.int32).tobytes())
+
+        try:
             while not self._shutdown.is_set():
                 try:
                     meta, payload = _recv_frame(conn, _payload_len)
                 except (ConnectionError, struct.error):
-                    return
+                    break
                 if meta.get("cmd") == "shutdown":
-                    _send_frame(conn, {"ok": True})
+                    sendq.put(lambda: _send_frame(conn, {"ok": True}))
                     self._shutdown.set()
-                    return
+                    break
                 try:
                     n, d = meta["shape"]
                     q = np.frombuffer(payload, np.float32).reshape(n, d)
-                    vals, idxs = self.batcher.search(
-                        q, k=meta.get("k", 10), **meta.get("opts", {}))
+                    fut = self.batcher.submit(q, k=meta.get("k", 10),
+                                              **meta.get("opts", {}))
                 except Exception as exc:
-                    _send_frame(conn, {"error": f"{type(exc).__name__}: "
-                                                f"{exc}"})
+                    msg = f"{type(exc).__name__}: {exc}"
+                    sendq.put(lambda m=msg: _send_frame(conn,
+                                                        {"error": m}))
                     continue
-                keys = None
-                if meta.get("keys"):
-                    try:
-                        keys = self.batcher.index.lookup(idxs)
-                    except Exception as exc:
-                        _send_frame(conn, {"error": str(exc)})
-                        continue
-                _send_frame(
-                    conn, {"shape": list(vals.shape), "keys": keys},
-                    np.ascontiguousarray(vals, np.float32).tobytes()
-                    + np.ascontiguousarray(idxs, np.int32).tobytes())
+                sendq.put(functools.partial(respond, fut,
+                                            bool(meta.get("keys"))))
+        finally:
+            sendq.put(None)   # flush in-order, then close
+            st.join()
+            conn.close()
 
 
 class Client:
-    """Blocking client for :class:`IndexServer` (one socket, reusable).
-    Thread-safe: concurrent ``search`` calls serialize on the socket —
-    give each thread its own Client when you *want* them batched
-    together server-side rather than queued here."""
+    """Client for :class:`IndexServer` (one socket, reusable,
+    thread-safe).
+
+    ``search`` blocks; ``search_async`` returns a
+    :class:`concurrent.futures.Future` immediately, so ONE client can
+    keep many requests in flight on one connection — the server reads
+    and submits them to the batcher as they arrive and streams the
+    responses back in request order. Without pipelining, a connection is
+    bounded by the full batch round trip per request (latency, not
+    throughput); with it, a single client process can saturate the
+    batcher that previously needed one thread+socket per in-flight
+    request (PERF_NOTES "Index server")."""
 
     def __init__(self, socket_path: str, connect_timeout: float = 10.0):
         family, addr = _parse_addr(socket_path)
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()          # guards sends + _pending
+        self._pending: deque = deque()         # (Future, want_keys)
+        self._reader: Optional[threading.Thread] = None
         self._sock = socket.socket(family, socket.SOCK_STREAM)
         t0 = time.monotonic()
         while True:   # the server may still be binding
@@ -433,34 +485,92 @@ class Client:
                     raise
                 time.sleep(0.02)
 
-    def search(self, queries, k: int = 10, keys: bool = False,
-               **opts):
-        """(vals, idxs) — plus the key lists if ``keys=True``."""
-        q = np.ascontiguousarray(np.asarray(queries, np.float32))
-        if q.ndim == 1:
-            q = q[None, :]
-        meta = {"k": int(k), "shape": list(q.shape), "keys": bool(keys),
-                "opts": opts}
-        with self._lock:   # one request/response in flight per socket
-            _send_frame(self._sock, meta, q.tobytes())
-            rmeta, payload = _recv_frame(self._sock, _payload_len)
+    # --- wire -------------------------------------------------------------
+
+    def _submit(self, meta: dict, payload: bytes, want_keys: bool
+                ) -> Future:
+        fut: Future = Future()
+        with self._lock:   # keeps send order == pending order
+            if self._reader is None:
+                self._reader = threading.Thread(
+                    target=self._read_loop, daemon=True,
+                    name="dirjax-client-reader")
+                self._reader.start()
+            entry = (fut, want_keys)
+            self._pending.append(entry)
+            try:
+                _send_frame(self._sock, meta, payload)
+            except BaseException:
+                try:
+                    self._pending.remove(entry)
+                except ValueError:
+                    pass
+                raise
+        return fut
+
+    def _read_loop(self) -> None:
+        # deque.append/popleft are atomic, so the reader never touches
+        # _lock — a sender blocked mid-sendall can therefore never stall
+        # the draining of responses (bidirectional-pressure deadlock).
+        while True:
+            try:
+                rmeta, payload = _recv_frame(self._sock, _payload_len)
+            except Exception as exc:
+                while True:
+                    try:
+                        fut, _ = self._pending.popleft()
+                    except IndexError:
+                        return
+                    if not fut.done():
+                        fut.set_exception(
+                            ConnectionError(f"connection lost: {exc}"))
+            fut, want_keys = self._pending.popleft()
+            try:
+                fut.set_result(self._parse(rmeta, payload, want_keys))
+            except Exception as exc:
+                fut.set_exception(exc)
+
+    @staticmethod
+    def _parse(rmeta: dict, payload: bytes, want_keys: bool):
         if "error" in rmeta:
             raise RuntimeError(f"server error: {rmeta['error']}")
+        if rmeta.get("ok"):           # shutdown acknowledgement
+            return True
         n, kk = rmeta["shape"]
         vals = np.frombuffer(payload[:n * kk * 4], np.float32
                              ).reshape(n, kk)
         idxs = np.frombuffer(payload[n * kk * 4:], np.int32
                              ).reshape(n, kk)
-        if keys:
+        if want_keys:
             return vals, idxs, rmeta["keys"]
         return vals, idxs
 
+    # --- API --------------------------------------------------------------
+
+    def search_async(self, queries, k: int = 10, keys: bool = False,
+                     **opts) -> Future:
+        """Fire a request without waiting; the Future resolves to
+        ``(vals, idxs)`` (plus key lists if ``keys=True``). Responses
+        come back in request order, errors resolve the matching Future."""
+        q = np.ascontiguousarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None, :]
+        meta = {"k": int(k), "shape": list(q.shape), "keys": bool(keys),
+                "opts": opts}
+        return self._submit(meta, q.tobytes(), bool(keys))
+
+    def search(self, queries, k: int = 10, keys: bool = False,
+               **opts):
+        """(vals, idxs) — plus the key lists if ``keys=True``."""
+        return self.search_async(queries, k=k, keys=keys, **opts).result()
+
     def shutdown_server(self) -> None:
-        _send_frame(self._sock, {"cmd": "shutdown"})
-        _recv_frame(self._sock, _payload_len)
+        self._submit({"cmd": "shutdown"}, b"", False).result()
 
     def close(self) -> None:
         self._sock.close()
+        if self._reader is not None:
+            self._reader.join(timeout=5)
 
     def __enter__(self):
         return self

@@ -275,6 +275,37 @@ class TestIndexServer:
             c.shutdown_server()
         t.join(timeout=10)
 
+    def test_search_async_pipelines_one_connection(self, tmp_path):
+        """N requests in flight on ONE socket: futures resolve in request
+        order with each request's own correct slice, and errors resolve
+        only the matching future."""
+        index, x = _index()
+        server, t, path = self._serve(index, tmp_path, max_wait_ms=1.0)
+        with Client(path) as c:
+            futs = [c.search_async(x[i:i + 2], k=3) for i in range(10)]
+            bad = c.search_async(np.zeros((1, 7), np.float32), k=3)
+            after = c.search_async(x[:2], k=3)
+            for i, f in enumerate(futs):
+                vals, idxs = f.result(timeout=60)
+                np.testing.assert_array_equal(
+                    idxs, index.search(x[i:i + 2], k=3)[1])
+            with pytest.raises(RuntimeError, match="server error"):
+                bad.result(timeout=60)
+            vals, idxs = after.result(timeout=60)   # conn survives errors
+            np.testing.assert_array_equal(idxs, index.search(x[:2], k=3)[1])
+            c.shutdown_server()
+        t.join(timeout=10)
+
+    def test_async_futures_fail_on_connection_loss(self, tmp_path):
+        index, x = _index()
+        server, t, path = self._serve(index, tmp_path, max_wait_ms=1.0)
+        c = Client(path)
+        f = c.search_async(x[:2], k=3)
+        f.result(timeout=60)          # reader thread is live
+        c.shutdown_server()
+        t.join(timeout=10)
+        c.close()
+
     def test_addr_parsing(self):
         import socket as so
 
