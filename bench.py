@@ -468,6 +468,27 @@ def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
     warm.search(queries, k=k)
     server.batcher.reset_latency_stats()
 
+    if n_clients == 1:
+        # single pipelined connection: keep a window of async requests
+        # in flight (Client.search_async) — the profile a production RPC
+        # shim has, vs the N-threads-N-sockets closed loop below
+        c = Client(path)
+        window, total = 32, n_req * 16
+        t0 = time.perf_counter()
+        futs = []
+        for _ in range(total):
+            futs.append(c.search_async(queries, k=k))
+            if len(futs) >= window:
+                futs.pop(0).result()
+        for f in futs:
+            f.result()
+        elapsed = time.perf_counter() - t0
+        c.close()
+        lat = server.batcher.latency_stats()
+        warm.shutdown_server()
+        st.join(timeout=10)
+        return total * rows_per_req / elapsed, lat
+
     start = threading.Barrier(n_clients + 1)
     done = []
 
@@ -750,6 +771,11 @@ def main():
         # host-side bf16 conversion: halves the upload-bandwidth term
         qps, _ = bench_server_qps(kind="pq", n_req=48, upload_bf16=True)
         extras["server_qps_pq_1M_16cl_16rows_bf16up"] = round(qps, 1)
+        # ONE pipelined connection, 32 async requests in flight
+        # (Client.search_async): the single-client ceiling
+        qps, _ = bench_server_qps(kind="pq", n_clients=1, n_req=48,
+                                  upload_bf16=True)
+        extras["server_qps_pq_1M_1cl_async32_bf16up"] = round(qps, 1)
     except Exception as e:
         extras["server_pq_error"] = str(e)[:120]
 
