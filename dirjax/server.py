@@ -186,7 +186,14 @@ class DynamicBatcher:
                                                  reqs[0][3] + self.max_wait))
                     continue
                 take, taken_rows = [], 0
-                while reqs and (taken_rows < self.max_batch or not take):
+                # never OVERSHOOT max_batch by coalescing: sizes past the
+                # warmed bucket ladder would compile on live traffic (the
+                # exact failure warmup() exists to prevent). A single
+                # request larger than max_batch still dispatches whole —
+                # splitting one caller's matrix is not ours to do.
+                while reqs and (not take
+                                or taken_rows + reqs[0][1]
+                                <= self.max_batch):
                     take.append(reqs.pop(0))
                     taken_rows += take[-1][1]
                 ready.append((sig, take))
@@ -216,8 +223,9 @@ class DynamicBatcher:
             with self._lat_lock:
                 self._latencies.append((done - t0) * 1e3)
             off += n
-        self.stats["batches"] += 1
-        self.stats["batched_rows"] += off
+        with self._lat_lock:   # pipeline>1: _dispatch runs concurrently
+            self.stats["batches"] += 1
+            self.stats["batched_rows"] += off
 
     def warmup(self, k: int = 10, **opts) -> None:
         """Pre-compile every query-count bucket this batcher can emit for
@@ -474,6 +482,7 @@ class Client:
         self._lock = threading.Lock()          # guards sends + _pending
         self._pending: deque = deque()         # (Future, want_keys)
         self._reader: Optional[threading.Thread] = None
+        self._dead: Optional[Exception] = None   # set before reader exits
         self._sock = socket.socket(family, socket.SOCK_STREAM)
         t0 = time.monotonic()
         while True:   # the server may still be binding
@@ -491,6 +500,12 @@ class Client:
                 ) -> Future:
         fut: Future = Future()
         with self._lock:   # keeps send order == pending order
+            if self._dead is not None:
+                # the reader died on connection loss and will never
+                # resolve new futures — a send can still "succeed" into
+                # a half-closed TCP socket, which would hang the caller
+                raise ConnectionError(
+                    f"connection lost: {self._dead}") from self._dead
             if self._reader is None:
                 self._reader = threading.Thread(
                     target=self._read_loop, daemon=True,
@@ -506,6 +521,18 @@ class Client:
                 except ValueError:
                     pass
                 raise
+            if self._dead is not None:
+                # the reader set _dead BEFORE draining, so a drain that
+                # missed this just-appended entry is impossible to race
+                # past this check: either the drain resolved it, or we
+                # see _dead here and fail it ourselves
+                try:
+                    self._pending.remove(entry)
+                except ValueError:
+                    pass   # the drain already resolved it
+                if not fut.done():
+                    fut.set_exception(ConnectionError(
+                        f"connection lost: {self._dead}"))
         return fut
 
     def _read_loop(self) -> None:
@@ -516,6 +543,7 @@ class Client:
             try:
                 rmeta, payload = _recv_frame(self._sock, _payload_len)
             except Exception as exc:
+                self._dead = exc   # BEFORE draining — _submit re-checks
                 while True:
                     try:
                         fut, _ = self._pending.popleft()

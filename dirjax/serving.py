@@ -98,10 +98,13 @@ def _fused_ivf_topk(q, rotation, codebooks, ivf, *, k: int, nprobe: int,
     return ivf_topk(luts, qr, ivf, k, nprobe=nprobe, compute_dtype=cdt)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _fused_int8_rerank(q, rdb, rscales, idxs, *, k: int):
-    """Exact int8 rescore of a candidate shortlist as its own dispatch
-    (used where the candidates come from a separately-jitted stage)."""
+def _int8_rescore(q, rdb, rscales, idxs, k: int):
+    """Exact int8 rescore of a candidate shortlist — the ONE body shared
+    by every rerank path (fused PQ, IVF, PQIndex mesh). Gathers k
+    candidate rows/query from HBM (the only row-level traffic) and
+    scores the UNROTATED query against them (int8 rows live in the
+    original descriptor space); invalid candidates (-1 past a tiny
+    corpus) mask to -inf."""
     safe = jnp.maximum(idxs, 0)
     rows = jnp.take(rdb, safe, axis=0).astype(jnp.float32)
     rows = rows * jnp.take(rscales.reshape(-1), safe)[:, :, None]
@@ -112,29 +115,22 @@ def _fused_int8_rerank(q, rdb, rscales, idxs, *, k: int):
     kk = min(k, scores.shape[1])
     vals, pos = jax.lax.top_k(scores, kk)
     return vals, jnp.take_along_axis(idxs, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fused_int8_rerank(q, rdb, rscales, idxs, *, k: int):
+    """:func:`_int8_rescore` as its own dispatch (used where the
+    candidates come from a separately-jitted stage)."""
+    return _int8_rescore(q, rdb, rscales, idxs, k)
 
 
 @functools.partial(jax.jit, static_argnames=("base", "k", "n_valid", "dt"))
 def _fused_adc_rerank(q, rotation, codebooks, codes, rdb, rscales, *,
                       base: int, k: int, n_valid: int, dt: str):
     """:func:`_fused_adc_topk` plus the exact int8 rescore of the top
-    ``base`` ADC candidates, still one dispatch. The rescore gathers
-    ``base`` rows/query from HBM — the only row-level traffic — and
-    scores the UNROTATED query against them (int8 rows live in the
-    original descriptor space); invalid candidates (-1 past a tiny
-    corpus) mask to -inf."""
-    vals, idxs = _adc_body(q, rotation, codebooks, codes, base, n_valid,
-                           dt)
-    safe = jnp.maximum(idxs, 0)
-    rows = jnp.take(rdb, safe, axis=0).astype(jnp.float32)
-    rows = rows * jnp.take(rscales.reshape(-1), safe)[:, :, None]
-    scores = jnp.einsum("qd,qkd->qk", q, rows,
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-    scores = jnp.where(idxs >= 0, scores, -jnp.inf)
-    kk = min(k, scores.shape[1])
-    vals, pos = jax.lax.top_k(scores, kk)
-    return vals, jnp.take_along_axis(idxs, pos, axis=1)
+    ``base`` ADC candidates, still one dispatch."""
+    _, idxs = _adc_body(q, rotation, codebooks, codes, base, n_valid, dt)
+    return _int8_rescore(q, rdb, rscales, idxs, k)
 
 
 class _Tombstones:
@@ -316,7 +312,10 @@ class RetrievalIndex(_Tombstones):
         if int8_queries and self._scales is None:
             raise ValueError("int8_queries requires an int8 index "
                              "(RetrievalIndex(dtype=jnp.int8))")
-        self._int8_queries = bool(int8_queries)
+        # int8_queries is threaded through as a PARAMETER: stashing it on
+        # self raced under the DynamicBatcher's concurrent dispatch
+        # workers (pipeline>1) — one request could run in the other's
+        # quantization mode
         q = np.asarray(queries)
         if q.ndim == 1:
             q = q[None, :]  # single query convenience
@@ -332,13 +331,15 @@ class RetrievalIndex(_Tombstones):
                 raise ValueError(
                     f"k={k} exceeds the {self.n} database rows")
             vals, idxs = self._search_padded(
-                q, min(k + self._tomb_pad(), self.n), aqe)
+                q, min(k + self._tomb_pad(), self.n), aqe,
+                bool(int8_queries))
             vals, idxs = self._tomb_filter(vals, idxs, k)
             return np.asarray(vals)[:nq], np.asarray(idxs)[:nq]
-        vals, idxs = self._search_padded(q, k, aqe)
+        vals, idxs = self._search_padded(q, k, aqe, bool(int8_queries))
         return vals[:nq], idxs[:nq]
 
-    def _search_padded(self, q, k: int, aqe: Optional[dict]
+    def _search_padded(self, q, k: int, aqe: Optional[dict],
+                       int8_queries: bool = False
                        ) -> Tuple[np.ndarray, np.ndarray]:
         if self.mesh is None:
             if self._scales is not None:  # int8, single chip
@@ -351,7 +352,7 @@ class RetrievalIndex(_Tombstones):
                                                  k=aqe["k"])
                 vals, idxs = rank_topk_fused(
                     q, self._db, k, db_scales=self._scales,
-                    quantize_queries=getattr(self, "_int8_queries", False))
+                    quantize_queries=int8_queries)
                 return _pull_vi(vals, idxs)
             q = jnp.asarray(q, self.dtype)
             if aqe:
@@ -373,8 +374,7 @@ class RetrievalIndex(_Tombstones):
         vals, idxs = sharded_topk(
             q, self._db, k, self.mesh, self._n_valid,
             db_scales=self._scales,
-            quantize_queries=(self._scales is not None
-                              and getattr(self, "_int8_queries", False)))
+            quantize_queries=(self._scales is not None and int8_queries))
         return _pull_vi(vals, idxs)
 
     def add(self, descriptors, keys: Optional[Sequence[str]] = None) -> None:
@@ -897,20 +897,11 @@ class PQIndex(_Tombstones):
             else _rotate_rows(q, self.rotation)
 
     def _rerank(self, q, idxs, k: int):
-        """Exact int8 rescore of the ADC candidate list. Gathering kf
-        rows/query from HBM is the only row-level traffic in a rerank
-        search; invalid candidates (idx -1 past a tiny corpus) mask out."""
-        safe = jnp.maximum(idxs, 0)
-        rows = jnp.take(self._rerank_db, safe, axis=0).astype(jnp.float32)
-        rows = rows * jnp.take(self._rerank_scales.reshape(-1),
-                               safe)[:, :, None]
-        scores = jnp.einsum("qd,qkd->qk", q, rows,
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-        scores = jnp.where(idxs >= 0, scores, -jnp.inf)
-        kk = min(k, scores.shape[1])
-        vals, pos = jax.lax.top_k(scores, kk)
-        return vals, jnp.take_along_axis(idxs, pos, axis=1)
+        """Exact int8 rescore of the ADC candidate list (the mesh path's
+        rerank stage — single-chip searches fuse :func:`_int8_rescore`
+        into the ADC dispatch instead)."""
+        return _fused_int8_rerank(q, self._rerank_db, self._rerank_scales,
+                                  jnp.asarray(idxs), k=min(k, idxs.shape[1]))
 
     def _expand_queries(self, q, k: int, alpha: float):
         """AQE against reconstructed neighbors — no full-precision rows

@@ -52,7 +52,7 @@ def _scene_batch(key, n, h, w):
     import jax
     import jax.numpy as jnp
 
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 8)
     yy = jnp.linspace(0.0, 1.0, h)[None, :, None, None]
     xx = jnp.linspace(0.0, 1.0, w)[None, None, :, None]
     # gradient background: c0 + c1*y + c2*x per channel
@@ -68,12 +68,16 @@ def _scene_batch(key, n, h, w):
     blob = jnp.exp(-d2 / (2 * bs[:, None, None, :, 0] ** 2))
     img = img + jnp.einsum("nhwb,nbc->nhwc", blob, bcol)
     # oriented sinusoid texture
+    # distinct keys per draw: reusing one key for two same-shape draws
+    # returns IDENTICAL uniforms (r4 review: th/fr were perfectly
+    # correlated and ph shared bits with the pixel noise — one fewer
+    # independent factor of scene variation than intended)
     th = jax.random.uniform(ks[4], (n, 1, 1, 1), maxval=np.pi)
-    fr = jax.random.uniform(ks[4], (n, 1, 1, 1), minval=4.0, maxval=40.0)
+    fr = jax.random.uniform(ks[6], (n, 1, 1, 1), minval=4.0, maxval=40.0)
     ph = jax.random.uniform(ks[5], (n, 1, 1, 1), maxval=2 * np.pi)
     tex = 0.15 * jnp.sin(fr * (jnp.cos(th) * yy + jnp.sin(th) * xx) + ph)
     img = img + tex
-    img = img + 0.02 * jax.random.normal(ks[5], (n, h, w, 3))
+    img = img + 0.02 * jax.random.normal(ks[7], (n, h, w, 3))
     return jnp.clip(img, 0.0, 1.0)
 
 

@@ -181,9 +181,13 @@ class TestRetrievalIndexInt8:
         # full-int8 still recovers the fp32 top-1 on well-separated data
         _, i32 = RetrievalIndex(db, dtype=jnp.float32).search(q, k=5)
         assert np.mean(i[:, 0] == i32[:, 0]) >= 0.8
-        # the flag must not stick across calls
-        idx8.search(q, k=5)
-        assert idx8._int8_queries is False
+        # the mode must not stick across calls (it is a per-call
+        # parameter, never instance state — instance state raced under
+        # the batcher's concurrent dispatch workers)
+        v2, i2 = idx8.search(q, k=5)
+        assert not hasattr(idx8, "_int8_queries")
+        _, iq = idx8.search(q, k=5, int8_queries=True)
+        np.testing.assert_array_equal(iq, i)   # param still honored
 
     def test_aqe_runs_and_normalizes(self):
         db = _normed(512, 64)

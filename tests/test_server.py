@@ -146,6 +146,32 @@ class TestDynamicBatcher:
         np.testing.assert_array_equal(idxs, ei)
         batcher.close()
 
+    def test_coalescing_never_overshoots_max_batch(self):
+        """Batches formed by coalescing must stay <= max_batch: overshoot
+        sizes fall past the warmed bucket ladder and compile on live
+        traffic. Only a single oversized request may exceed it."""
+        calls = []
+
+        class Spy:
+            dim = 8
+
+            def search(self, q, k=10, **opts):
+                calls.append(len(q))
+                return (np.zeros((len(q), k), np.float32),
+                        np.zeros((len(q), k), np.int32))
+
+        b = DynamicBatcher(Spy(), max_batch=16, max_wait_ms=200.0,
+                           pipeline=1)
+        qs = np.zeros((10, 8), np.float32)
+        futs = [b.submit(qs, k=3) for _ in range(4)]   # 40 rows pending
+        for f in futs:
+            f.result(timeout=30)
+        assert all(c <= 16 for c in calls), calls     # 10+10 > 16 never
+        big = b.submit(np.zeros((23, 8), np.float32), k=3)  # oversized
+        big.result(timeout=30)
+        assert 23 in calls
+        b.close()
+
     def test_search_error_propagates_to_caller(self):
         index, _ = _index()
         batcher = DynamicBatcher(index, max_batch=8, max_wait_ms=0.0)
@@ -304,6 +330,20 @@ class TestIndexServer:
         f.result(timeout=60)          # reader thread is live
         c.shutdown_server()
         t.join(timeout=10)
+        # the server is gone: new submits must RAISE (a TCP send into a
+        # half-closed socket can succeed — without the dead-flag check
+        # the future would hang forever)
+        deadline = threading.Event()
+        for _ in range(50):           # reader notices loss asynchronously
+            try:
+                fut = c.search_async(x[:2], k=3)
+                fut.result(timeout=5)
+            except (ConnectionError, OSError, RuntimeError):
+                break
+            deadline.wait(0.05)
+        else:
+            raise AssertionError("submits after connection loss neither "
+                                 "raised nor failed the future")
         c.close()
 
     def test_addr_parsing(self):
