@@ -38,7 +38,7 @@ import struct
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future, ThreadPoolExecutor
+from concurrent.futures import Future, InvalidStateError, ThreadPoolExecutor
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -101,7 +101,11 @@ class DynamicBatcher:
         casts queries to bf16 anyway); for int8/PQ/IVF/binary it rounds
         the query to 8 mantissa bits BEFORE scoring — far below those
         tiers' own quantization noise, but not bit-identical, hence
-        opt-in.
+        opt-in. Do NOT combine it with a full-precision fp32 dense
+        ``RetrievalIndex``: that tier ranks at fp32 HIGHEST precision
+        specifically to avoid bf16 truncation (mAP-relevant,
+        CLAUDE.md), and rounding the queries on upload reintroduces
+        exactly that loss — the constructor warns in this combination.
     """
 
     def __init__(self, index, max_batch: int = 256,
@@ -112,6 +116,22 @@ class DynamicBatcher:
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1e3
         self.upload_bf16 = bool(upload_bf16)
+        if self.upload_bf16:
+            d = getattr(index, "dtype", None)   # fp32 dense RetrievalIndex
+            try:
+                is_fp32 = d is not None and np.dtype(d) == np.float32
+            except TypeError:
+                is_fp32 = False
+            if is_fp32:
+                import warnings
+
+                warnings.warn(
+                    "upload_bf16 with a full-precision fp32 dense index "
+                    "rounds queries to 8 mantissa bits before an otherwise "
+                    "HIGHEST-precision ranking — the exact truncation that "
+                    "tier exists to avoid (mAP-relevant). Serve a "
+                    "bf16/int8 index instead, or drop upload_bf16.",
+                    stacklevel=2)
         self._lock = threading.Lock()
         #: signature -> list of (queries, nrows, Future, t0, k, opts)
         self._queues: Dict[Any, list] = {}
@@ -232,17 +252,26 @@ class DynamicBatcher:
         one ``(k, opts)`` signature, then clear the latency window.
 
         Coalesced batches land on arbitrary row counts <= ``max_batch``;
-        the index pads them to its ``NQ_BUCKETS`` ladder, and each bucket's
-        FIRST search pays an XLA compile — minutes through the dev tunnel.
-        Without warmup those compiles land on live traffic (measured: a
-        16-client benchmark sank from 6.6k to 0.9k QPS with p99 8.8 s
-        because buckets 32/64/128 compiled mid-run). Call once per
-        signature a deployment will serve."""
+        the index pads them to its ``NQ_BUCKETS`` ladder (256-row rungs
+        above the ladder top — ``dirjax.serving._nq_bucket``), and each
+        bucket's FIRST search pays an XLA compile — minutes through the
+        dev tunnel. Without warmup those compiles land on live traffic
+        (measured: a 16-client benchmark sank from 6.6k to 0.9k QPS with
+        p99 8.8 s because buckets 32/64/128 compiled mid-run). Call once
+        per signature a deployment will serve. A SINGLE request larger
+        than ``max_batch`` still dispatches whole (its padded rung may be
+        uncompiled) — keep per-request row counts within ``max_batch``."""
         dim = self.index.dim
-        buckets = [b for b in getattr(self.index, "NQ_BUCKETS",
-                                      (1, self.max_batch))
+        ladder = getattr(self.index, "NQ_BUCKETS", None)
+        buckets = [b for b in (ladder or (1, self.max_batch))
                    if b <= self.max_batch]
-        if self.max_batch not in buckets:
+        if ladder and self.max_batch > max(ladder):
+            # serving pads past the ladder in 256-row rungs: warm every
+            # rung a coalesced batch (<= max_batch rows) can land on
+            top = -(-self.max_batch // 256) * 256
+            buckets += [b for b in range(512, top + 1, 256)
+                        if b > max(ladder)]
+        elif self.max_batch not in buckets:
             buckets.append(self.max_batch)
         rng = np.random.default_rng(0)
         for b in buckets:
@@ -531,8 +560,15 @@ class Client:
                 except ValueError:
                     pass   # the drain already resolved it
                 if not fut.done():
-                    fut.set_exception(ConnectionError(
-                        f"connection lost: {self._dead}"))
+                    # done() then set_exception is check-then-act against
+                    # the reader's drain (which never takes _lock): if
+                    # both pass the check, the loser's set_exception must
+                    # be a no-op, not an exception that kills the drain
+                    try:
+                        fut.set_exception(ConnectionError(
+                            f"connection lost: {self._dead}"))
+                    except InvalidStateError:
+                        pass
         return fut
 
     def _read_loop(self) -> None:
@@ -550,8 +586,15 @@ class Client:
                     except IndexError:
                         return
                     if not fut.done():
-                        fut.set_exception(
-                            ConnectionError(f"connection lost: {exc}"))
+                        # _submit's own loss path races this drain on the
+                        # same future; a lost race must be a no-op — an
+                        # unhandled InvalidStateError here would kill the
+                        # drain mid-way and strand the remaining futures
+                        try:
+                            fut.set_exception(
+                                ConnectionError(f"connection lost: {exc}"))
+                        except InvalidStateError:
+                            pass
             fut, want_keys = self._pending.popleft()
             try:
                 fut.set_result(self._parse(rmeta, payload, want_keys))
@@ -627,7 +670,9 @@ def main(argv: Optional[list] = None):
                              "before the device transfer (halves query "
                              "upload bytes; identical results for bf16 "
                              "indexes, sub-quantization-noise rounding "
-                             "for int8/PQ/IVF/binary)")
+                             "for int8/PQ/IVF/binary; avoid with an fp32 "
+                             "dense index — it truncates the queries that "
+                             "tier ranks at full precision)")
     parser.add_argument("--pipeline", type=int, default=3,
                         help="batches in flight on the device at once "
                              "(1 = strictly serial dispatch; >1 overlaps "

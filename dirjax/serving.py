@@ -35,6 +35,24 @@ from .ops.topk_pallas import quantize_db, rank_topk_fused
 __all__ = ["RetrievalIndex", "BinaryIndex", "PQIndex", "IVFPQIndex"]
 
 
+#: query-count buckets shared by every index class: under jit each distinct
+#: nq is a fresh compile (minutes on a cold cache), so search pads the batch
+#: up to the next bucket with zero queries and slices the answer back down
+NQ_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256)
+
+
+def _nq_bucket(nq: int) -> int:
+    """Pad target for an ``nq``-row query batch: the ladder up to 256, then
+    256-row rungs — so ANY batch size maps into a bounded, warmable set of
+    compiled shapes (a server running ``max_batch > 256`` would otherwise
+    hit arbitrary raw sizes on live traffic; ``DynamicBatcher.warmup``
+    mirrors this rule)."""
+    for b in NQ_BUCKETS:
+        if b >= nq:
+            return b
+    return -(-nq // 256) * 256
+
+
 def _rotate_rows(x, r):
     """OPQ rotation at HIGHEST precision: default fp32 matmuls get
     bf16-truncated on TPU (CLAUDE.md) and the noise lands directly in
@@ -293,10 +311,8 @@ class RetrievalIndex(_Tombstones):
             self._db, self._n_valid = shard_database(
                 jnp.asarray(descriptors, dtype), mesh)
 
-    #: query-count buckets: under jit every distinct nq is a fresh compile
-    #: (minutes on a cold cache), so search pads the batch up to the next
-    #: bucket with zero queries and slices the answer back down
-    NQ_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256)
+    #: see module-level NQ_BUCKETS / _nq_bucket (shared by every class)
+    NQ_BUCKETS = NQ_BUCKETS
 
     # --- search ---------------------------------------------------------
     def search(self, queries, k: int = 10, *, aqe: Optional[dict] = None,
@@ -322,7 +338,7 @@ class RetrievalIndex(_Tombstones):
         assert q.shape[1] == self.dim, \
             f"query dim {q.shape[1]} != index dim {self.dim}"
         nq = len(q)
-        bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
+        bucket = _nq_bucket(nq)
         if bucket != nq:
             q = np.concatenate(
                 [q, np.zeros((bucket - nq, self.dim), q.dtype)])
@@ -606,7 +622,7 @@ class BinaryIndex(_Tombstones):
         assert q.shape[1] == self.dim, \
             f"query dim {q.shape[1]} != index dim {self.dim}"
         nq = len(q)
-        bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
+        bucket = _nq_bucket(nq)
         if bucket != nq:
             q = np.concatenate(
                 [q, np.zeros((bucket - nq, self.dim), q.dtype)])
@@ -854,7 +870,7 @@ class PQIndex(_Tombstones):
         assert q.shape[1] == self.dim, \
             f"query dim {q.shape[1]} != index dim {self.dim}"
         nq = len(q)
-        bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
+        bucket = _nq_bucket(nq)
         if bucket != nq:
             q = np.concatenate(
                 [q, np.zeros((bucket - nq, self.dim), q.dtype)])
@@ -1113,7 +1129,7 @@ class IVFPQIndex(_Tombstones):
         assert q.shape[1] == self.dim, \
             f"query dim {q.shape[1]} != index dim {self.dim}"
         nq = len(q)
-        bucket = next((b for b in self.NQ_BUCKETS if b >= nq), nq)
+        bucket = _nq_bucket(nq)
         if bucket != nq:
             q = np.concatenate(
                 [q, np.zeros((bucket - nq, self.dim), q.dtype)])
