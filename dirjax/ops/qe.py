@@ -43,12 +43,31 @@ def _weights(top_sims, alpha: float):
 def _expand_from_topk(descs, db_descs, top_sims, top_idx, alpha: float,
                       k: int):
     # gather BEFORE casting: only the (N, k) neighbor rows are widened to
-    # fp32, never the full database (the chunked variants' memory contract)
-    neighbors = jnp.take(db_descs, top_idx, axis=0).astype(jnp.float32)
-    weighted = jnp.einsum("nk,nkd->nd", _weights(top_sims, alpha), neighbors,
+    # fp32, never the full database (the chunked variants' memory contract).
+    # top_idx slots of -1 (exclusion-filtered candidates, _drop_excluded)
+    # contribute weight 0 and a clamped-but-ignored gather.
+    neighbors = jnp.take(db_descs, jnp.maximum(top_idx, 0),
+                         axis=0).astype(jnp.float32)
+    w = jnp.where(top_idx >= 0, _weights(top_sims, alpha), 0.0)
+    weighted = jnp.einsum("nk,nkd->nd", w, neighbors,
                           precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
     return l2_normalize((descs + weighted) / (k + 1.0))
+
+
+def _drop_excluded(vals, idxs, exclude_mask, k: int):
+    """Exact top-``k`` of the NON-excluded rows from an over-fetched
+    top-``(k + pad)`` candidate list, provided ``pad >=`` the number of
+    excluded rows (at most that many excluded rows can outrank a live
+    one). Excluded/empty slots come back as ``(0.0, -1)`` — weight-zero
+    under :func:`_expand_from_topk`. Used to keep tombstoned index rows
+    from steering query expansion (dirjax.serving)."""
+    bad = (idxs < 0) | jnp.take(exclude_mask, jnp.maximum(idxs, 0))
+    vals = jnp.where(bad, -jnp.inf, vals)
+    vals, pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    idxs = jnp.take_along_axis(idxs, pos, axis=1)
+    live = vals > -jnp.inf
+    return jnp.where(live, vals, 0.0), jnp.where(live, idxs, -1)
 
 
 def _expand_from_sims(descs, db_descs, sims, alpha: float, k: int):
@@ -121,16 +140,27 @@ def _streaming_topk(q, db, k: int, db_chunk: int, row0=None):
 
 
 def expand_queries_chunked(qdescs, db_descs, alpha: float = 3.0, k: int = 10,
-                           *, db_chunk: int = 131072):
+                           *, db_chunk: int = 131072, exclude_mask=None,
+                           exclude_pad: int = 0):
     """AQE over a database too large for an (Nq, Nd) similarity matrix.
 
     Equivalent to :func:`expand_queries` (same top-k, same weighting); the
-    database may stay bf16 — scores accumulate in fp32 on the MXU."""
+    database may stay bf16 — scores accumulate in fp32 on the MXU.
+
+    ``exclude_mask`` (device bool (Nd,), True = excluded) drops rows from
+    the expansion neighborhood: the top-k runs over-fetched by
+    ``exclude_pad`` (must be >= the excluded count) and excluded hits are
+    filtered before the weighted sum — the expanded queries equal those of
+    a database without the excluded rows."""
     qdescs = jnp.asarray(qdescs, dtype=jnp.float32)
     db_descs = jnp.asarray(db_descs)
     k = min(int(k), db_descs.shape[0])
+    kk = min(k + int(exclude_pad), db_descs.shape[0]) \
+        if exclude_mask is not None else k
     q_cast = qdescs.astype(db_descs.dtype)
-    vals, idxs = _streaming_topk(q_cast, db_descs, k, db_chunk)
+    vals, idxs = _streaming_topk(q_cast, db_descs, kk, db_chunk)
+    if exclude_mask is not None:
+        vals, idxs = _drop_excluded(vals, idxs, exclude_mask, k)
     return _expand_from_topk(qdescs, db_descs, vals, idxs, alpha, k)
 
 
@@ -163,20 +193,29 @@ def expand_database_chunked(db_descs, alpha: float = 3.0, k: int = 10, *,
 
 
 def expand_queries_quantized(qdescs, db_i8, db_scales, alpha: float = 3.0,
-                             k: int = 10):
+                             k: int = 10, *, exclude_mask=None,
+                             exclude_pad: int = 0):
     """AQE against an int8-quantized database (:func:`..ops.topk_pallas.
     quantize_db`): the top-k runs through the int8 streaming kernel (half
     the HBM bytes of bf16) and only the k neighbor rows per query are
     gathered and dequantized. Same weighting/mean semantics as
-    :func:`expand_queries`."""
+    :func:`expand_queries`; ``exclude_mask``/``exclude_pad`` as in
+    :func:`expand_queries_chunked` (over-fetch + filter — the kernel has
+    no in-stream exclusion)."""
     from .topk_pallas import rank_topk_fused
 
     qdescs = jnp.asarray(qdescs, dtype=jnp.float32)
     k = min(int(k), db_i8.shape[0])
-    vals, idxs = rank_topk_fused(qdescs, db_i8, k, db_scales=db_scales)
-    nb = jnp.take(db_i8, idxs, axis=0).astype(jnp.float32)      # (Nq, k, D)
-    nb = nb * jnp.take(db_scales.reshape(-1), idxs)[:, :, None]
-    weighted = jnp.einsum("nk,nkd->nd", _weights(vals, alpha), nb,
+    kk = min(k + int(exclude_pad), db_i8.shape[0]) \
+        if exclude_mask is not None else k
+    vals, idxs = rank_topk_fused(qdescs, db_i8, kk, db_scales=db_scales)
+    if exclude_mask is not None:
+        vals, idxs = _drop_excluded(vals, idxs, exclude_mask, k)
+    safe = jnp.maximum(idxs, 0)
+    nb = jnp.take(db_i8, safe, axis=0).astype(jnp.float32)      # (Nq, k, D)
+    nb = nb * jnp.take(db_scales.reshape(-1), safe)[:, :, None]
+    w = jnp.where(idxs >= 0, _weights(vals, alpha), 0.0)
+    weighted = jnp.einsum("nk,nkd->nd", w, nb,
                           precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
     return l2_normalize((qdescs + weighted) / (k + 1.0))

@@ -500,24 +500,35 @@ def sharded_scores(q, db_sharded, mesh: Mesh, n_valid: int, axis: str = "db"):
 
 
 def sharded_aqe(q, db_sharded, mesh: Mesh, n_valid: int, alpha: float = 3.0,
-                k: int = 10, axis: str = "db", db_scales=None):
+                k: int = 10, axis: str = "db", db_scales=None,
+                exclude_mask=None, exclude_pad: int = 0):
     """Alpha-query-expansion against a sharded database: top-k neighbors
     found shard-wise, neighbor rows gathered by global index, re-aggregated
     and re-normalized (semantics of reference test_dir.py:24-44). Supports
     an int8 database (pass ``db_scales``): only the k gathered neighbor
-    rows per query are dequantized."""
+    rows per query are dequantized. ``exclude_mask`` (replicated bool
+    (n_valid,), True = excluded) with ``exclude_pad >=`` the excluded
+    count drops rows from the expansion neighborhood exactly
+    (:func:`dirjax.ops.qe._drop_excluded` over-fetch rule)."""
     from ..ops.normalize import l2_normalize
-    from ..ops.qe import _weights
+    from ..ops.qe import _drop_excluded, _weights
 
-    vals, idxs = sharded_topk(q, db_sharded, k, mesh, n_valid, axis,
+    kk = min(k + int(exclude_pad), n_valid) \
+        if exclude_mask is not None else k
+    vals, idxs = sharded_topk(q, db_sharded, kk, mesh, n_valid, axis,
                               db_scales=db_scales)
-    neighbors = jnp.take(db_sharded, idxs, axis=0)   # gathers across shards
+    if exclude_mask is not None:
+        vals, idxs = _drop_excluded(vals, idxs, jnp.asarray(exclude_mask),
+                                    k)
+    safe = jnp.maximum(idxs, 0)
+    neighbors = jnp.take(db_sharded, safe, axis=0)   # gathers across shards
     if db_sharded.dtype == jnp.int8:
         neighbors = neighbors.astype(jnp.float32) * \
-            jnp.take(db_scales.reshape(-1), idxs)[:, :, None]
+            jnp.take(db_scales.reshape(-1), safe)[:, :, None]
         q = jnp.asarray(q, jnp.float32)
     # one weight/aggregate rule for every AQE path (ops/qe.py owns it)
-    expanded = (q + jnp.einsum("nk,nkd->nd", _weights(vals, alpha),
+    w = jnp.where(idxs >= 0, _weights(vals, alpha), 0.0)
+    expanded = (q + jnp.einsum("nk,nkd->nd", w,
                                neighbors.astype(jnp.float32),
                                precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)) \

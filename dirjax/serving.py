@@ -167,13 +167,17 @@ class _Tombstones:
     way out of ``search`` anyway, and a device-side filter would cost a
     host->device re-upload plus eager dispatches through the tunnel
     (~8 MB/s, ~3-5 ms each; CLAUDE.md). The mask persists through
-    ``save``/``load`` (packed bits). Caveat: alpha-query-expansion draws
-    its expansion neighbors from the raw kernel top-k, so tombstoned
-    rows can still *influence* expanded queries until ``compact()`` —
-    they can never be *returned*."""
+    ``save``/``load`` (packed bits).
+
+    Alpha-query-expansion is tombstone-exact too: expansion paths
+    over-fetch their neighbor top-k by the same pad and filter against a
+    lazily-cached DEVICE copy of the mask (:meth:`_tomb_mask_device`)
+    before the weighted sum, so removed rows can neither be returned nor
+    steer expanded queries (was a documented caveat through r4)."""
 
     _removed = None            # np.bool_ (n,) — None until first remove()
     _n_removed = 0             # cached count: searches must stay O(1) here
+    _removed_dev = None        # lazy device copy for the AQE filter
 
     @property
     def n_removed(self) -> int:
@@ -213,10 +217,28 @@ class _Tombstones:
         newly = int(np.count_nonzero(~self._removed[idx]))
         self._removed[idx] = True
         self._n_removed += newly
+        self._removed_dev = None     # device copy is stale
         return newly
 
     def _tomb_pad(self) -> int:
         return ((self.n_removed + 63) // 64) * 64
+
+    def _tomb_mask_device(self):
+        """Device copy of the tombstone mask, for filtering EXPANSION
+        neighbors on device (AQE). Lazy and cached — uploaded once per
+        mutation, n bools (1 MB per 1M rows), not per search."""
+        if self._removed_dev is None:
+            self._removed_dev = jnp.asarray(self._removed)
+        return self._removed_dev
+
+    def _tomb_aqe_kwargs(self) -> dict:
+        """``exclude_mask``/``exclude_pad`` kwargs for the expansion ops
+        (:func:`dirjax.ops.qe._drop_excluded` over-fetch rule); empty when
+        nothing is tombstoned."""
+        if not self.n_removed:
+            return {}
+        return {"exclude_mask": self._tomb_mask_device(),
+                "exclude_pad": self._tomb_pad()}
 
     def _tomb_filter(self, vals, idxs, k: int):
         """Exact post-kernel filter on the HOST: tombstoned (and
@@ -237,6 +259,7 @@ class _Tombstones:
         if self._removed is not None:
             self._removed = np.concatenate(
                 [self._removed, np.zeros(n_new, bool)])
+            self._removed_dev = None
 
     def _tomb_save(self, arrays: dict) -> None:
         if self.n_removed:
@@ -244,6 +267,7 @@ class _Tombstones:
 
     def _tomb_restore(self, mask) -> None:
         self._removed = mask
+        self._removed_dev = None
         self._n_removed = 0 if mask is None else int(mask.sum())
 
     @staticmethod
@@ -266,6 +290,7 @@ class _Tombstones:
             self.keys = [self.keys[i] for i in keep_idx]
         self.n = int(keep_idx.size)
         self._removed = None
+        self._removed_dev = None
         self._n_removed = 0
         return mapping
 
@@ -365,7 +390,8 @@ class RetrievalIndex(_Tombstones):
 
                     q = expand_queries_quantized(q, self._db, self._scales,
                                                  alpha=aqe["alpha"],
-                                                 k=aqe["k"])
+                                                 k=aqe["k"],
+                                                 **self._tomb_aqe_kwargs())
                 vals, idxs = rank_topk_fused(
                     q, self._db, k, db_scales=self._scales,
                     quantize_queries=int8_queries)
@@ -373,8 +399,9 @@ class RetrievalIndex(_Tombstones):
             q = jnp.asarray(q, self.dtype)
             if aqe:
                 # chunked: never materializes the (Nq, Nd) similarity matrix
-                q = expand_queries_chunked(q, self._db, alpha=aqe["alpha"],
-                                           k=aqe["k"]).astype(self.dtype)
+                q = expand_queries_chunked(
+                    q, self._db, alpha=aqe["alpha"], k=aqe["k"],
+                    **self._tomb_aqe_kwargs()).astype(self.dtype)
             vals, idxs = rank_topk_fused(q, self._db, k)
             return _pull_vi(vals, idxs)
 
@@ -384,7 +411,8 @@ class RetrievalIndex(_Tombstones):
         if aqe:
             q = sharded_aqe(q, self._db, self.mesh, self._n_valid,
                             alpha=aqe["alpha"], k=aqe["k"],
-                            db_scales=self._scales)
+                            db_scales=self._scales,
+                            **self._tomb_aqe_kwargs())
         if self._scales is None:
             q = q.astype(self.dtype)
         vals, idxs = sharded_topk(
@@ -921,8 +949,17 @@ class PQIndex(_Tombstones):
 
     def _expand_queries(self, q, k: int, alpha: float):
         """AQE against reconstructed neighbors — no full-precision rows
-        needed, so it works at pure-compressed capacity."""
-        vals, idxs = self._adc_topk(q, min(k, self.n))
+        needed, so it works at pure-compressed capacity. Tombstoned rows
+        are filtered out of the neighbor set (over-fetch + device-mask
+        filter, the :class:`_Tombstones` AQE rule)."""
+        k = min(int(k), self.n)
+        pad = self._tomb_pad() if self.n_removed else 0
+        vals, idxs = self._adc_topk(q, min(k + pad, self.n))
+        if pad:
+            from .ops.qe import _drop_excluded
+
+            vals, idxs = _drop_excluded(vals, idxs,
+                                        self._tomb_mask_device(), k)
         codes = self._codes if self.mesh is None else self._codes
         nb_codes = jnp.take(codes, jnp.maximum(idxs, 0), axis=0)
         nb = reconstruct_pq(nb_codes.reshape(-1, self.m),
@@ -1169,14 +1206,20 @@ class IVFPQIndex(_Tombstones):
         """AQE against IVF reconstructions: neighbor row i decodes to
         ``centroid[assign[i]] + decode(codes[i])`` in rotated space —
         exactly what the search scores rank by, so the top-k weights
-        (``vals**alpha``) and the expansion vectors agree. Like
-        :meth:`PQIndex._expand_queries`, tombstoned rows can still
-        influence the expansion until ``compact()`` (class docstring)."""
+        (``vals**alpha``) and the expansion vectors agree. Tombstoned
+        rows are filtered out of the neighbor set (over-fetch +
+        device-mask filter, the :class:`_Tombstones` AQE rule)."""
         k = min(int(k), self.n)
+        pad = self._tomb_pad() if self.n_removed else 0
         qr = self._rotate(q)
         vals, idxs = ivf_topk(pq_lookup(qr, self.codebooks), qr, self._ivf,
-                              k, nprobe=nprobe,
+                              min(k + pad, self.n), nprobe=nprobe,
                               compute_dtype=self.compute_dtype)
+        if pad:
+            from .ops.qe import _drop_excluded
+
+            vals, idxs = _drop_excluded(vals, idxs,
+                                        self._tomb_mask_device(), k)
         assign, codes = self._row_coding()
         safe = np.maximum(np.asarray(idxs), 0)          # (nq, k) host
         nb = reconstruct_pq(jnp.asarray(codes[safe.reshape(-1)]),

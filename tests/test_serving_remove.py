@@ -273,3 +273,64 @@ class TestPQRemove:
         # each query's old nearest neighbor is gone, results stay valid
         v2, i2 = back.search(q, k=6)
         assert (i2 >= 0).all() and (i2 < back.n).all()
+
+
+class TestAQETombstoneInvisibility:
+    """r5: tombstoned rows must not STEER query expansion either — the
+    expansion neighbor set over-fetches and filters against the device
+    tombstone mask, so a search with aqe on a tombstoned index equals the
+    same search after compact() (same codecs, rows physically dropped)."""
+
+    AQE = {"k": 5, "alpha": 3.0}
+
+    def _assert_tomb_equals_compact(self, index, q, k=7, **opts):
+        v1, i1 = index.search(q, k=k, **opts)
+        mapping = index.compact()
+        v2, i2 = index.search(q, k=k, **opts)
+        np.testing.assert_allclose(v1, v2, rtol=2e-5, atol=2e-6)
+        np.testing.assert_array_equal(
+            np.where(i1 >= 0, mapping[np.maximum(i1, 0)], -1), i2)
+
+    def test_fp32_dense(self, corpus):
+        db, q = corpus
+        index = RetrievalIndex(db)
+        # remove each query's strongest expansion neighbor: if the
+        # tombstone leaked into the expansion, scores would differ
+        index.remove(indices=exact_topk(q, db, 1)[:, 0])
+        self._assert_tomb_equals_compact(index, q, aqe=self.AQE)
+
+    def test_int8(self, corpus):
+        db, q = corpus
+        index = RetrievalIndex(db, dtype=jnp.int8)
+        index.remove(indices=exact_topk(q, db, 1)[:, 0])
+        self._assert_tomb_equals_compact(index, q, aqe=self.AQE)
+
+    def test_mesh(self, corpus):
+        db, q = corpus
+        index = RetrievalIndex(db, mesh=make_mesh(data=1, db=8,
+                                                  devices=jax.devices()[:8]))
+        index.remove(indices=exact_topk(q, db, 1)[:, 0])
+        self._assert_tomb_equals_compact(index, q, aqe=self.AQE)
+
+    def test_pq(self, corpus, rng):
+        db, q = corpus
+        index = PQIndex(db, m=8, ksub=16, seed=0, train_iters=4)
+        index.remove(indices=rng.choice(len(db), 9, replace=False))
+        self._assert_tomb_equals_compact(index, q, aqe=self.AQE)
+
+    def test_ivf(self, corpus, rng):
+        db, q = corpus
+        index = IVFPQIndex(db, nlist=8, m=8, ksub=16, nprobe=8, seed=0,
+                           train_iters=4)
+        index.remove(indices=rng.choice(len(db), 9, replace=False))
+        self._assert_tomb_equals_compact(index, q, aqe=self.AQE)
+
+    def test_fp32_dense_differs_from_leaky_expansion(self, corpus):
+        """The pre-r5 behavior (expansion over ALL rows) must NOT match:
+        guards against the filter silently becoming a no-op."""
+        db, q = corpus
+        index = RetrievalIndex(db)
+        leaky_v, _ = index.search(q, k=7, aqe=self.AQE)
+        index.remove(indices=exact_topk(q, db, 1)[:, 0])
+        clean_v, _ = index.search(q, k=7, aqe=self.AQE)
+        assert not np.allclose(leaky_v, clean_v)
