@@ -49,7 +49,7 @@ import numpy as np
 __all__ = ["BinaryCodec", "fit_itq", "binarize", "project_queries",
            "binarize_and_project",
            "unpack_pm1", "hamming_topk", "pad_for_search", "asym_rescore",
-           "bytes_for_search", "hamming_topk_mxu"]
+           "bytes_for_search", "hamming_topk_mxu", "hamming_search_fused"]
 
 
 class BinaryCodec(NamedTuple):
@@ -463,6 +463,70 @@ def _bits_finish(q_packed, db_bytes, bids, vmask, k: int, n_valid: int):
     vals, pos = jax.lax.top_k(scores, k)
     idxs = jnp.take_along_axis(rows, pos, axis=1)
     return vals, jnp.where(vals > -jnp.inf, idxs, -1)
+
+
+@partial(jax.jit, static_argnames=("k", "kf", "n_valid", "tile_rows",
+                                   "asym", "use_mxu", "interpret"))
+def _fused_search(q, mean, proj, db_bytes, *, k: int, kf: int, n_valid: int,
+                  tile_rows: int, asym: bool, use_mxu: bool,
+                  interpret: bool):
+    from .topk_pallas import _hier_select
+
+    qp, vq = _binarize_project(q, mean, proj)   # vq DCEd when not asym
+    if use_mxu:
+        # Mosaic miscompiles sub-8-row dots (rank_topk_fused note): pad
+        # queries to one sublane tile and slice the answer
+        nq = qp.shape[0]
+        qpp = qp if nq >= 8 else jnp.concatenate(
+            [qp, jnp.zeros((8 - nq, qp.shape[1]), qp.dtype)])
+        fmax = _bits_finemax_phase1(qpp, db_bytes, n_valid, tile_rows,
+                                    interpret)
+        bids, vmask = _hier_select(fmax, kf, tile_rows, n_valid)
+        vals, idxs = _bits_finish(qpp, db_bytes, bids, vmask, kf, n_valid)
+        vals, idxs = vals[:nq], idxs[:nq]
+    else:
+        vals, idxs = hamming_topk(qp, db_bytes, kf, n_valid=n_valid)
+    if asym:
+        vals, idxs = asym_rescore(vq, db_bytes, idxs, k)
+    return vals, idxs
+
+
+def hamming_search_fused(queries, codec: BinaryCodec, db_bytes, k: int, *,
+                         kf: Optional[int] = None,
+                         n_valid: Optional[int] = None,
+                         tile_rows: int = _BITS_TILE, asym: bool = True,
+                         use_mxu: Optional[bool] = None,
+                         interpret: Optional[bool] = None):
+    """The whole binary search as ONE device dispatch: float queries ->
+    centered projection (packed codes + continuous projection from one
+    shared matmul) -> Hamming shortlist of ``kf`` candidates (the MXU
+    unpack-matmul phases on TPU, the XLA popcount scan elsewhere) ->
+    optional asymmetric rescore down to ``k``.
+
+    Staged, these are 3-5 eager dispatches; through the dev tunnel each
+    adds ~12-30 ms of round-trip latency on the serving path (PERF_NOTES
+    "Index server" — the r4 PQ fusion recipe, ``serving._fused_adc_topk``,
+    applied to the binary tier). Unlike the DENSE ranking path, fusing is
+    safe here: the candidate fetch is a plain XLA gather of contiguous
+    2 KB byte blocks (``_bits_finish``), not the Pallas DMA-pipeline
+    gather whose scheduling regressed under fusion (topk_pallas
+    ``_hierarchical`` docstring). ``db_bytes`` must come from
+    :func:`bytes_for_search` (same contract as :func:`hamming_topk_mxu`).
+    """
+    q = jnp.asarray(queries)
+    dbb = jnp.asarray(db_bytes)
+    assert dbb.dtype == jnp.uint8 and dbb.shape[0] % tile_rows == 0, \
+        "db_bytes must come from bytes_for_search (uint8, tile-padded)"
+    n = dbb.shape[0] if n_valid is None else int(n_valid)
+    kf = k if kf is None else int(kf)
+    assert 0 < k <= kf <= n, (k, kf, n)
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_search(q, codec.mean, codec.proj, dbb, k=int(k), kf=kf,
+                         n_valid=n, tile_rows=tile_rows, asym=bool(asym),
+                         use_mxu=bool(use_mxu), interpret=bool(interpret))
 
 
 def hamming_topk_mxu(q_packed, db_bytes, k: int, *,

@@ -22,9 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.binary import (BinaryCodec, asym_rescore, binarize,
-                         binarize_and_project, fit_itq, hamming_topk,
-                         project_queries)
+from .ops.binary import (BinaryCodec, binarize, binarize_and_project,
+                         fit_itq)
 from .ops.ivf import (IVFArrays, bin_ivf, build_ivf, ivf_assign, ivf_topk,
                       unbin_ivf)
 from .ops.pq import (encode_pq, pq_lookup, pq_pad_codes, pq_topk,
@@ -552,24 +551,19 @@ class RetrievalIndex(_Tombstones):
         return idx
 
 
-# asymmetric shortlist rescore lives in ops.binary (shared with the
-# sharded path in parallel/ranking.py)
-_asym_rescore_impl = asym_rescore
-
-
 class BinaryIndex(_Tombstones):
     """ITQ binary-hash index: ``n_bits/8`` bytes per row.
 
     The capacity point between PQ (32 B/row) and int8 (2 KB/row at
     2048-D): 2048-bit sign codes are 256 B/row — 8x the int8 corpus per
     chip — with far higher per-row fidelity than 32-B PQ codes. Queries
-    rank by packed Hamming distance — on TPU via the Pallas MXU
-    unpack-matmul kernel (:func:`dirjax.ops.binary.hamming_topk_mxu`,
-    3-4x the popcount scan it falls back to elsewhere; exact values);
-    with ``asym=True`` (default) the top ``rerank_factor * k`` Hamming
-    candidates are rescored asymmetrically — continuous projected query
-    against ±1 codes — which recovers most of the query-side quantization
-    loss without storing any float rows.
+    rank by packed Hamming distance — single-chip searches run as ONE
+    fused dispatch (:func:`dirjax.ops.binary.hamming_search_fused`:
+    encode -> MXU unpack-matmul shortlist on TPU / popcount scan
+    elsewhere -> rescore); with ``asym=True`` (default) the top
+    ``rerank_factor * k`` Hamming candidates are rescored asymmetrically
+    — continuous projected query against ±1 codes — which recovers most
+    of the query-side quantization loss without storing any float rows.
 
     The codec is learned from the indexed corpus (ITQ: PCA + an iterative
     orthogonal rotation that balances bit variance,
@@ -605,7 +599,7 @@ class BinaryIndex(_Tombstones):
         """Place packed codes. Single chip: the BYTE layout (same bytes per
         row as uint32 words — capacity unchanged), padded once to a
         multiple that serves both the popcount-scan path (32768-row
-        chunks) and the MXU unpack-matmul kernel (512-row tiles), so no
+        chunks) and the MXU unpack-matmul kernel (1024-row tiles), so no
         search ever re-pads the corpus. Mesh: uint32 words row-sharded
         over the "db" axis (:func:`~dirjax.parallel.ranking.shard_codes_binary`)."""
         if self.mesh is None:
@@ -618,18 +612,6 @@ class BinaryIndex(_Tombstones):
             from .parallel.ranking import shard_codes_binary
 
             self._codes, _ = shard_codes_binary(codes, self.mesh)
-
-    def _rank(self, qp, k: int):
-        """Packed-Hamming top-k over the resident codes: the Pallas MXU
-        unpack-matmul kernel on TPU (hamming_topk_mxu — 7.6 ms / 33.7k
-        QPS phase-1 ceiling at 1M x 2048 bits nq=256 vs the scan's
-        36.2 ms, PERF_NOTES binary section), the XLA scan elsewhere
-        (interpret-mode Pallas would crawl on CPU)."""
-        from .ops.binary import hamming_topk_mxu
-
-        if jax.default_backend() == "tpu":
-            return hamming_topk_mxu(qp, self._codes, k, n_valid=self.n)
-        return hamming_topk(qp, self._codes, k, n_valid=self.n)
 
     n_bits = property(lambda self: self.codec.n_bits)
 
@@ -656,25 +638,30 @@ class BinaryIndex(_Tombstones):
                 [q, np.zeros((bucket - nq, self.dim), q.dtype)])
         if k > self.n:
             raise ValueError(f"k={k} exceeds the {self.n} database rows")
-        qj = jnp.asarray(q)
-        if self.asym:   # one dispatch + one shared centered matmul
-            qp, vq = binarize_and_project(qj, self.codec)
-        else:
-            qp, vq = binarize(qj, self.codec), None
         pad = self._tomb_pad() if self.n_removed else 0
         if self.mesh is not None:
+            qj = jnp.asarray(q)
+            if self.asym:   # one dispatch + one shared centered matmul
+                qp, vq = binarize_and_project(qj, self.codec)
+            else:
+                qp, vq = binarize(qj, self.codec), None
             from .parallel.ranking import sharded_hamming_topk
 
             vals, idxs = sharded_hamming_topk(
                 qp, self._codes, min(k + pad, self.n), self.mesh, self.n,
                 vq=vq, rerank_factor=rerank_factor)
-        elif self.asym:
-            kf = min(max(k * rerank_factor, k) + pad, self.n)
-            _, cand = self._rank(qp, kf)
-            vals, idxs = _asym_rescore_impl(vq, self._codes, cand,
-                                            min(k + pad, kf))
         else:
-            vals, idxs = self._rank(qp, min(k + pad, self.n))
+            # ONE dispatch: encode -> Hamming shortlist -> asym rescore
+            # (r5; eagerly staged this was 3-5 dispatches, each a tunnel
+            # round trip — the PQ fusion recipe applied to binary)
+            kk = min(k + pad, self.n)
+            kf = min(max(k * rerank_factor, k) + pad, self.n) \
+                if self.asym else kk
+            from .ops.binary import hamming_search_fused
+
+            vals, idxs = hamming_search_fused(
+                jnp.asarray(q), self.codec, self._codes, kk, kf=kf,
+                n_valid=self.n, asym=self.asym)
         vals, idxs = _pull_vi(vals, idxs)   # ONE host transfer
         if pad:
             vals, idxs = self._tomb_filter(vals, idxs, k)

@@ -465,3 +465,53 @@ class TestCLI:
             main(["query", "--index", out, "--descs",
                   str(tmp_path / "q.npy"), "--aqe", "3", "2",
                   "--gpu", "-1"])
+
+
+class TestFusedSearch:
+    """r5: the ONE-dispatch search (encode -> Hamming shortlist -> asym
+    rescore) must reproduce the staged pipeline exactly, on both ranking
+    backends (MXU kernel in interpret mode, and the XLA popcount scan)."""
+
+    def _staged(self, q, codec, db_bytes, n, k, kf, asym, mxu):
+        from dirjax.ops.binary import (asym_rescore, binarize_and_project,
+                                       hamming_topk, hamming_topk_mxu)
+
+        qp, vq = binarize_and_project(jnp.asarray(q), codec)
+        rank = hamming_topk_mxu if mxu else hamming_topk
+        if asym:
+            _, cand = rank(qp, db_bytes, kf, n_valid=n)
+            return asym_rescore(vq, db_bytes, cand, k)
+        return rank(qp, db_bytes, k, n_valid=n)
+
+    @pytest.mark.parametrize("asym,mxu", [(True, True), (True, False),
+                                          (False, True), (False, False)])
+    def test_fused_matches_staged(self, rng, asym, mxu):
+        from dirjax.ops.binary import (bytes_for_search, binarize,
+                                       hamming_search_fused)
+
+        n, d, bits, k = 900, 48, 32, 9
+        db = rng.normal(size=(n, d)).astype(np.float32)
+        q = rng.normal(size=(5, d)).astype(np.float32)
+        codec = fit_itq(db, bits, iters=3)
+        dbb = bytes_for_search(binarize(db, codec))
+        kf = 4 * k if asym else k
+        v1, i1 = hamming_search_fused(q, codec, dbb, k, kf=kf, n_valid=n,
+                                      asym=asym, use_mxu=mxu,
+                                      interpret=True)
+        v2, i2 = self._staged(q, codec, dbb, n, k, kf, asym, mxu)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_fused_single_query(self, rng):
+        from dirjax.ops.binary import (bytes_for_search, binarize,
+                                       hamming_search_fused)
+
+        n, d = 400, 32
+        db = rng.normal(size=(n, d)).astype(np.float32)
+        codec = fit_itq(db, 32, iters=2)
+        dbb = bytes_for_search(binarize(db, codec))
+        v, i = hamming_search_fused(db[:1], codec, dbb, 3, kf=12,
+                                    n_valid=n, use_mxu=True,
+                                    interpret=True)
+        assert v.shape == (1, 3) and int(i[0, 0]) == 0  # self-match
