@@ -340,36 +340,46 @@ def check_binary_exact(n: int = 4096, n_bits: int = 512, nq: int = 8,
     return bool(np.allclose(np.asarray(avals), want, rtol=1e-5, atol=1e-4))
 
 
-def bench_binary_qps(n_db: int = 1_000_000, n_bits: int = 2048,
-                     nq: int = 256, k: int = 100, n_iter: int = 6,
-                     asym: bool = False, method: str = "mxu", _cache={}):
-    """Binary-hash serving throughput: packed-sign-code Hamming ranking
-    (256 B/row at 2048 bits — 8x the int8 corpus per chip). Codes are
-    random words (Hamming cost is independent of code content).
-    ``method="mxu"`` is the serving path (Pallas unpack-matmul kernel,
-    what BinaryIndex dispatches on TPU); ``"scan"`` is the XLA popcount
-    fallback, kept as a labeled comparison metric. ``asym=True`` adds the
-    asymmetric float rescore of the Hamming shortlist — the higher-recall
-    serving mode. Same eager back-to-back dispatch pattern as
-    :func:`bench_ranking_qps`."""
-    from dirjax.ops.binary import (asym_rescore, bytes_for_search,
-                                   hamming_topk, hamming_topk_mxu)
-
-    w = n_bits // 32
+def _binary_codes_cached(n_db: int, w: int, _cache) -> "jnp.ndarray":
+    """Resident random byte-layout code corpus, cached per (n_db, w)."""
     ck = (n_db, w)
     if ck not in _cache:
         _cache.clear()
         # byte layout, built chunk-wise: random.bits materializes a 32-bit
         # random per OUTPUT ELEMENT, so a single (16M, 256) uint8 draw
         # transients 16 GB and OOMs the chip (r4 hazard log)
-        from dirjax.ops.binary import _to_bytes
+        from dirjax.ops.binary import _to_bytes, bytes_for_search
         chunk = 2_000_000
         parts = [_to_bytes(jax.random.bits(
             jax.random.PRNGKey(100 + j),
             (min(chunk, n_db - s), w), jnp.uint32))
             for j, s in enumerate(range(0, n_db, chunk))]
         _cache[ck] = bytes_for_search(jnp.concatenate(parts))
-    codes = _cache[ck]
+    return _cache[ck]
+
+
+_BINARY_CACHE = {}   # one resident code corpus shared by both binary benches
+
+
+def bench_binary_qps(n_db: int = 1_000_000, n_bits: int = 2048,
+                     nq: int = 256, k: int = 100, n_iter: int = 6,
+                     asym: bool = False, method: str = "mxu",
+                     _cache=_BINARY_CACHE):
+    """Binary-hash serving throughput: packed-sign-code Hamming ranking
+    (256 B/row at 2048 bits — 8x the int8 corpus per chip). Codes are
+    random words (Hamming cost is independent of code content).
+    ``method="mxu"`` is the r4 staged path (Pallas unpack-matmul kernel
+    phases as separate dispatches); ``"scan"`` is the XLA popcount
+    fallback, kept as a labeled comparison metric. ``asym=True`` adds the
+    asymmetric float rescore of the Hamming shortlist — the higher-recall
+    serving mode. Same eager back-to-back dispatch pattern as
+    :func:`bench_ranking_qps`. The SERVING path (what BinaryIndex
+    dispatches since r5) is :func:`bench_binary_fused_qps`."""
+    from dirjax.ops.binary import (asym_rescore, hamming_topk,
+                                   hamming_topk_mxu)
+
+    w = n_bits // 32
+    codes = _binary_codes_cached(n_db, w, _cache)
     qcs = [jax.random.bits(jax.random.PRNGKey(10 + j), (nq, w), jnp.uint32)
            for j in range(n_iter)]
     vqs = [jax.random.normal(jax.random.PRNGKey(40 + j), (nq, n_bits),
@@ -391,6 +401,46 @@ def bench_binary_qps(n_db: int = 1_000_000, n_bits: int = 2048,
         t0 = time.perf_counter()
         for qc_, vq_ in zip(qcs, vqs):
             vals = rank(qc_, vq_)
+        _sync(vals)
+        best = min(best, time.perf_counter() - t0)
+    return nq / (best / n_iter)
+
+
+def bench_binary_fused_qps(n_db: int = 1_000_000, n_bits: int = 2048,
+                           dim: int = 2048, nq: int = 256, k: int = 100,
+                           n_iter: int = 6, asym: bool = False,
+                           rerank_factor: int = 4, _cache=_BINARY_CACHE):
+    """The r5 one-dispatch binary serving path (hamming_search_fused:
+    float-query encode -> MXU Hamming shortlist -> optional asym rescore,
+    ONE jit — what BinaryIndex.search dispatches). Includes the query
+    encoding the staged benches skipped (one (nq, dim) x (dim, bits)
+    matmul — ~2 GFLOP at nq=256, trivial next to the 1 Tflop corpus
+    scan). Codec projection is random (Hamming cost is code-content-
+    independent); codes corpus shared with :func:`bench_binary_qps`."""
+    from dirjax.ops.binary import BinaryCodec, hamming_search_fused
+
+    w = n_bits // 32
+    codes = _binary_codes_cached(n_db, w, _cache)
+    codec = BinaryCodec(
+        mean=jnp.zeros((dim,), jnp.float32),
+        proj=jax.random.normal(jax.random.PRNGKey(7), (dim, n_bits),
+                               jnp.float32) * 0.03)
+    qs = [jax.random.normal(jax.random.PRNGKey(10 + j), (nq, dim),
+                            jnp.float32) for j in range(n_iter)]
+    kf = max(k * rerank_factor, k) if asym else k
+
+    def rank(q_):
+        vals, _ = hamming_search_fused(q_, codec, codes, k, kf=kf,
+                                       n_valid=n_db, asym=asym)
+        return vals
+
+    _sync(rank(qs[0]))  # compile + warm
+    _sync(rank(qs[1]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for q_ in qs:
+            vals = rank(q_)
         _sync(vals)
         best = min(best, time.perf_counter() - t0)
     return nq / (best / n_iter)
@@ -423,7 +473,7 @@ def bench_binary_device_ms(n_db: int = 1_000_000, n_bits: int = 2048,
 def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
                      n_clients: int = 16, rows_per_req: int = 16,
                      n_req: int = 96, k: int = 100, pipeline: int = 3,
-                     upload_bf16: bool = False):
+                     upload_bf16: bool = False, async_clients: int = 0):
     """End-to-end index-server throughput: N client threads, each with
     its own socket, firing ``rows_per_req``-row requests at an
     IndexServer over a Unix socket; the DynamicBatcher coalesces them
@@ -468,26 +518,42 @@ def bench_server_qps(kind: str = "pq", n_db: int = 1_000_000,
     warm.search(queries, k=k)
     server.batcher.reset_latency_stats()
 
-    if n_clients == 1:
-        # single pipelined connection: keep a window of async requests
-        # in flight (Client.search_async) — the profile a production RPC
-        # shim has, vs the N-threads-N-sockets closed loop below
-        c = Client(path)
-        window, total = 32, n_req * 16
+    if async_clients:
+        # N pipelined connections, each keeping a 32-deep window of async
+        # requests in flight (Client.search_async) — the profile of N
+        # production RPC shims sharing one server. N=1 is the r4 point;
+        # the N sweep locates the tunnel-saturation knee (VERDICT r4 #6).
+        window = 32
+        per_client = max(window, (n_req * 16) // async_clients)
+        start = threading.Barrier(async_clients + 1)
+        done = []
+
+        def aclient():
+            c = Client(path)
+            start.wait()
+            futs = []
+            for _ in range(per_client):
+                futs.append(c.search_async(queries, k=k))
+                if len(futs) >= window:
+                    futs.pop(0).result()
+            for f in futs:
+                f.result()
+            done.append(time.perf_counter())
+            c.close()
+
+        threads = [threading.Thread(target=aclient, daemon=True)
+                   for _ in range(async_clients)]
+        for t in threads:
+            t.start()
+        start.wait()
         t0 = time.perf_counter()
-        futs = []
-        for _ in range(total):
-            futs.append(c.search_async(queries, k=k))
-            if len(futs) >= window:
-                futs.pop(0).result()
-        for f in futs:
-            f.result()
-        elapsed = time.perf_counter() - t0
-        c.close()
+        for t in threads:
+            t.join()
+        elapsed = max(done) - t0
         lat = server.batcher.latency_stats()
         warm.shutdown_server()
         st.join(timeout=10)
-        return total * rows_per_req / elapsed, lat
+        return async_clients * per_client * rows_per_req / elapsed, lat
 
     start = threading.Barrier(n_clients + 1)
     done = []
@@ -617,7 +683,12 @@ def bench_train_step(n_iter: int = 8, batch: int = 16, size: int = 224,
             "mfu": (flops / sec) / V5E_PEAK_BF16_FLOPS}
 
 
-def bench_head_ms(n_iter: int = 20):
+def bench_head_ms(n_iter: int = 20, reps: int = 2):
+    """Fused GeM-head kernel time. Returns ``reps`` independent slope
+    measurements: the number flapped 0.289 (r3) -> 0.644 (r4) ms across
+    rounds with UNCHANGED kernel source, so the artifact now records the
+    spread (and main() measures at two different points of the bench run
+    to expose chip-state dependence) instead of a single point."""
     from dirjax.ops.gem_head import fused_gem_head
 
     B, H, W, C, D = 8, 32, 44, 2048, 2048
@@ -628,7 +699,8 @@ def bench_head_ms(n_iter: int = 20):
     def head(x_, w_, b_):
         return fused_gem_head(x_, 3.0, w_, b_, use_pallas=True)
 
-    return _timed_loop(head, (x, wgt, bias), n_iter) * 1e3
+    return [_timed_loop(head, (x, wgt, bias), n_iter) * 1e3
+            for _ in range(reps)]
 
 
 def main():
@@ -650,6 +722,14 @@ def main():
                                         hw=(1024, 768), masked=True), 2)
     except Exception as e:
         extras["masked_error"] = str(e)[:120]
+
+    head_samples = []
+    try:
+        # first head sample EARLY (only descriptor benches ran so far) —
+        # the late sample at the end of main() exposes chip-state drift
+        head_samples += bench_head_ms()
+    except Exception as e:
+        extras["head_error"] = str(e)[:120]
 
     try:
         qps = bench_ranking_qps()
@@ -733,10 +813,17 @@ def main():
         ok = check_binary_exact()
         extras["binary_exact_vs_oracle"] = bool(ok)
         if ok:
+            # the ONE-dispatch serving path (r5 fusion — what
+            # BinaryIndex.search runs; includes query encoding)
+            extras["binary_fused_qps_1M_2048b_nq256"] = round(
+                bench_binary_fused_qps(), 1)
+            extras["binary_fused_asym_qps_1M_2048b_nq256"] = round(
+                bench_binary_fused_qps(asym=True), 1)
+            extras["binary_fused_qps_1M_2048b_nq64"] = round(
+                bench_binary_fused_qps(nq=64), 1)
+            # the r4 staged dispatches, for the fusion-delta record
             extras["binary_qps_1M_2048b_nq256"] = round(
                 bench_binary_qps(), 1)
-            extras["binary_qps_1M_2048b_nq64"] = round(
-                bench_binary_qps(nq=64), 1)
             extras["binary_asym_qps_1M_2048b_nq256"] = round(
                 bench_binary_qps(asym=True), 1)
             # the XLA popcount fallback, for the record (the MXU kernel's
@@ -744,12 +831,12 @@ def main():
             extras["binary_scan_qps_1M_2048b_nq256"] = round(
                 bench_binary_qps(method="scan"), 1)
             # capacity: 16M rows in 4 GB of codes (8x the int8 ceiling)
-            extras["binary_qps_16M_2048b_nq256"] = round(
-                bench_binary_qps(n_db=16_000_000, n_iter=4), 1)
+            extras["binary_fused_qps_16M_2048b_nq256"] = round(
+                bench_binary_fused_qps(n_db=16_000_000, n_iter=4), 1)
     except Exception as e:
         extras["binary_error"] = str(e)[:120]
     finally:
-        bench_binary_qps.__defaults__[-1].clear()
+        _BINARY_CACHE.clear()
 
     try:
         extras["binary_p1_ms_device_1M_2048b_nq256"] = round(
@@ -771,11 +858,14 @@ def main():
         # host-side bf16 conversion: halves the upload-bandwidth term
         qps, _ = bench_server_qps(kind="pq", n_req=48, upload_bf16=True)
         extras["server_qps_pq_1M_16cl_16rows_bf16up"] = round(qps, 1)
-        # ONE pipelined connection, 32 async requests in flight
-        # (Client.search_async): the single-client ceiling
-        qps, _ = bench_server_qps(kind="pq", n_clients=1, n_req=48,
-                                  upload_bf16=True)
-        extras["server_qps_pq_1M_1cl_async32_bf16up"] = round(qps, 1)
+        # N pipelined connections, 32 async requests in flight each
+        # (Client.search_async): N=1 is the single-client ceiling; the
+        # sweep locates the tunnel-saturation knee (r5)
+        for nac in (1, 2, 4, 8):
+            qps, _ = bench_server_qps(kind="pq", n_req=48,
+                                      upload_bf16=True, async_clients=nac)
+            extras[f"server_qps_pq_1M_{nac}cl_async32_bf16up"] = \
+                round(qps, 1)
     except Exception as e:
         extras["server_pq_error"] = str(e)[:120]
 
@@ -789,9 +879,15 @@ def main():
         extras["server_bf16_error"] = str(e)[:120]
 
     try:
-        extras["fused_head_ms"] = round(bench_head_ms(), 3)
+        head_samples += bench_head_ms()   # LATE sample, post serving-benches
+        extras["fused_head_ms"] = round(float(np.median(head_samples)), 3)
+        extras["fused_head_ms_spread"] = [round(float(v), 3)
+                                          for v in head_samples]
     except Exception as e:
         extras["head_error"] = str(e)[:120]
+        if head_samples:
+            extras["fused_head_ms"] = round(float(np.median(head_samples)),
+                                            3)
 
     try:
         tr = bench_train_step(with_mfu=True)
