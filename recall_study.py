@@ -1,31 +1,38 @@
-"""Realistic recall study for the compressed serving tiers (round 4).
+"""Realistic recall study for the compressed serving tiers (r4 + r5).
 
 The compressed tiers (int8 / PQ / OPQ / IVF-PQ / binary-ITQ) had their
 recall measured only on a brutal synthetic (PERF_NOTES IVF section). This
-study grades them on descriptors with a REALISTIC spectrum: the actual
-R101-GeM head run over generated structured images, PCA-whitened
+study grades them on descriptors with a REALISTIC spectrum: an actual
+GeM descriptor head run over generated structured images, PCA-whitened
 (whitenp=0.5) and L2-normalized — the exact serving pipeline
 (``/root/reference/dirtorch/test_dir.py`` applies the same whiten+norm
 before ranking). Offline-feasible by construction: no dataset, no egress.
 
+Stage 0 (TPU, r5) — ``python recall_study.py train``:
+    fine-tune a descriptor model with the repo's own trainer (listwise AP
+    loss, ``dirjax.train.make_train_step``) on a CLUSTERED synthetic
+    corpus generated on device (each class = one base scene, each example
+    a random jittered view of it), and save a native checkpoint. A
+    trained backbone concentrates descriptor variance far faster than a
+    random-init one — the r4 study's spectrum was the flat worst case,
+    and the serving-tier guidance depends on which regime holds
+    (VERDICT r4 #1).
+
 Stage 1 (TPU or CPU) — ``python recall_study.py extract``:
     generate ``--n-db`` structured images (random gradient background +
     gaussian blobs + sinusoidal texture), plus ``--n-q`` query views
-    (random crop/flip/photometric jitter of db images, so every query has
+    (random crop/photometric jitter of db images, so every query has
     a true near-duplicate among many same-statistics distractors), run
-    the R101-GeM descriptor head, fit+apply PCA whitening, save
-    ``recall_descs.npz``.
+    the descriptor head (random-init by default; ``--checkpoint`` loads
+    a stage-0 fine-tune), save raw descriptors.
 
 Stage 2 (CPU) — ``python recall_study.py evaluate``:
-    build every serving tier on the saved descriptors, measure recall@k
-    vs the exact dot-product ranking, sweep each tier's knobs, validate
+    PCA-whiten, report the variance spectrum (top-k shares), build every
+    serving tier on the whitened descriptors, measure recall@k vs the
+    exact dot-product ranking, sweep each tier's knobs, validate
     ``dirjax.tuning.tune`` recommendations on HELD-OUT queries, and write
-    ``RECALL_r04.json`` (source for the PERF_NOTES recall table).
-
-The backbone is randomly initialized (no pretrained weights exist in this
-sandbox) — random-CNN GeM descriptors still have the front-loaded PCA
-spectrum and query/db correlation structure that synthetic gaussians
-lack, which is what PQ/OPQ/ITQ recall depends on.
+    the JSON artifact (``--section`` nests the results, so one file can
+    carry the flat-spectrum and trained-spectrum studies side by side).
 """
 
 from __future__ import annotations
@@ -39,7 +46,74 @@ import sys
 import numpy as np
 
 DESC_FILE = "recall_descs.npz"
-OUT_FILE = "RECALL_r04.json"
+OUT_FILE = "RECALL_r05.json"
+
+
+# --------------------------------------------------------------------------
+# stage 0: on-chip fine-tune for a trained (concentrated) spectrum
+# --------------------------------------------------------------------------
+
+def train(args):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    from dirjax.models import create_model
+    from dirjax.train import TrainConfig, make_optimizer, make_train_step
+    from dirjax.utils.checkpoints import Checkpoint, save_native
+
+    assert args.batch % args.views == 0, "--views must divide --batch"
+    cpb = args.batch // args.views      # classes per batch
+    h = w = args.size
+    cfg = TrainConfig(arch=args.arch, loss="ap", batch_size=args.batch,
+                      image_size=args.size, optimizer="adam",
+                      learning_rate=args.lr, freeze_bn=True, seed=0)
+    model = create_model(cfg.arch)
+    params = model.init(jax.random.PRNGKey(cfg.seed))
+    tx = make_optimizer(cfg, params, total_steps=args.steps)
+    opt_state = tx.init(params)
+    step = make_train_step(model, cfg, tx, dtype=jnp.bfloat16)
+    class_key = jax.random.PRNGKey(777)   # class identity: scene per class
+
+    @jax.jit
+    def fused_step(params, opt_state, key, cls_ids):
+        # class c's base scene is DETERMINISTIC (fold_in by class id), so
+        # the same class re-appears across steps; each example is an
+        # independent jittered view — the Siamese multi-crop recipe with
+        # the corpus generated on device (no loader, no host bytes)
+        scenes = jax.vmap(
+            lambda c: _scene_batch(jax.random.fold_in(class_key, c),
+                                   1, h, w)[0])(cls_ids)
+        reps = jnp.repeat(scenes, args.views, axis=0)
+        imgs = _query_views(key, reps)
+        labels = jnp.repeat(cls_ids, args.views)
+        return step(params, opt_state, imgs, labels)
+
+    losses = []
+    for it in range(args.steps):
+        key = jax.random.PRNGKey(10_000 + it)
+        cls_ids = jax.random.randint(jax.random.fold_in(key, 1), (cpb,),
+                                     0, args.n_classes)
+        params, opt_state, loss = fused_step(params, opt_state, key,
+                                             cls_ids)
+        losses.append(float(loss))
+        if (it + 1) % 25 == 0 or it == 0:
+            recent = sum(losses[-25:]) / len(losses[-25:])
+            print(f"step {it + 1}/{args.steps} ap-loss {recent:.4f}",
+                  flush=True)
+    ckpt = Checkpoint(model=model, params=params,
+                      preprocess=model.preprocess,
+                      extra={"steps": args.steps,
+                             "n_classes": args.n_classes,
+                             "loss_first25": round(
+                                 sum(losses[:25]) / min(25, len(losses)), 4),
+                             "loss_last25": round(
+                                 sum(losses[-25:]) / min(25, len(losses)), 4)})
+    save_native(args.out, ckpt)
+    print(f"saved {cfg.arch} fine-tune ({args.steps} steps, AP loss "
+          f"{ckpt.extra['loss_first25']} -> {ckpt.extra['loss_last25']}) "
+          f"-> {args.out}", flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -136,8 +210,16 @@ def extract(args):
     from dirjax.models.rmac import apply_descriptor
 
     h, w = args.size, args.size
-    model = create_model("resnet101_rmac")
-    params = model.init(jax.random.PRNGKey(7))
+    if args.checkpoint:   # stage-0 fine-tune (trained spectrum)
+        from dirjax.utils.checkpoints import load_native
+
+        ck = load_native(args.checkpoint)
+        model, params = ck.model, ck.params
+        print(f"extracting with {model.arch} from {args.checkpoint}",
+              flush=True)
+    else:                 # random init (the r4 flat-spectrum worst case)
+        model = create_model(args.arch)
+        params = model.init(jax.random.PRNGKey(7))
     cfg = model.config
 
     @jax.jit
@@ -223,12 +305,24 @@ def evaluate(args):
             "doing retrieval (all-ties/NaN extraction?); refusing to "
             "grade compressed tiers against a meaningless ground truth")
 
+    # the variance spectrum the whole tier guidance hinges on: how fast
+    # the UNWHITENED descriptor variance concentrates (a trained backbone
+    # front-loads it; random init is nearly flat across live directions)
+    evr = np.asarray(pca.variance, np.float64)
+    share = np.cumsum(evr) / max(evr.sum(), 1e-30)
+    spectrum = {f"top{kk}_variance_share": round(float(share[kk - 1]), 4)
+                for kk in (16, 64, 256, 1024) if kk <= len(share)}
+    spectrum["rank_for_99pct"] = int(np.searchsorted(share, 0.99) + 1)
+
     results = {"n_db": int(n), "dim": int(dim), "n_q": int(len(q)),
-               "src_is_top1": round(src_top1, 4), "tiers": {}}
+               "src_is_top1": round(src_top1, 4), "spectrum": spectrum,
+               "tiers": {}}
     if args.tiers and os.path.exists(args.out):
         # incremental mode: keep previously graded tiers, re-grade matches
         with open(args.out) as f:
             prev = json.load(f)
+        if args.section:
+            prev = prev.get(args.section, {})
         if prev.get("n_db") == results["n_db"]:
             results["tiers"] = prev.get("tiers", {})
             for key in prev:
@@ -371,26 +465,52 @@ def evaluate(args):
               f"recall={tuned.recall:.3f} met={tuned.met} "
               f"heldout={held_recall:.3f}", flush=True)
 
+    payload = results
+    if args.section:
+        payload = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                payload = json.load(f)
+        payload[args.section] = results
     with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
-    print(f"wrote {args.out}", flush=True)
+        json.dump(payload, f, indent=1)
+    where = f"{args.out}[{args.section}]" if args.section else args.out
+    print(f"wrote {where}", flush=True)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
+    pt = sub.add_parser("train")
+    pt.add_argument("--arch", default="resnet50_rmac")
+    pt.add_argument("--steps", type=int, default=400)
+    pt.add_argument("--batch", type=int, default=32)
+    pt.add_argument("--views", type=int, default=4,
+                    help="jittered views per class per batch")
+    pt.add_argument("--n-classes", type=int, default=256)
+    pt.add_argument("--size", type=int, default=224)
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--out", default="ckpt_spectrum.npz")
+    pt.set_defaults(fn=train)
     pe = sub.add_parser("extract")
     pe.add_argument("--n-db", type=int, default=16384)
     pe.add_argument("--n-q", type=int, default=256)
     pe.add_argument("--batch", type=int, default=32)
     pe.add_argument("--size", type=int, default=224)
     pe.add_argument("--cpu", action="store_true")
+    pe.add_argument("--arch", default="resnet101_rmac")
+    pe.add_argument("--checkpoint", default="",
+                    help="native checkpoint from the train stage "
+                         "(trained-spectrum extraction)")
     pe.add_argument("--out", default=DESC_FILE)
     pe.set_defaults(fn=extract)
     pv = sub.add_parser("evaluate")
     pv.add_argument("--descs", default=DESC_FILE)
     pv.add_argument("--target", type=float, default=0.9)
     pv.add_argument("--out", default=OUT_FILE)
+    pv.add_argument("--section", default="",
+                    help="nest results under this key in --out (one file "
+                         "carries the flat and trained studies)")
     pv.add_argument("--tiers", default="",
                     help="regex: grade only matching tier groups and "
                          "merge into an existing --out (incremental)")
