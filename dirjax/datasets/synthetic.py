@@ -61,17 +61,27 @@ def make_synthetic_benchmark(
     hue_period: int = 1,
 ) -> str:
     """Write images + a gnd_synthetic.pkl into ``out_dir``; returns the
-    pickle path. Query q for class c is a held-out instance of that class."""
+    pickle path. Query q for class c is a held-out instance of that class.
+
+    ``image_size`` may be a LIST of (w, h) tuples: each image draws its
+    size at random — the mixed-size regime of the real benchmarks
+    (Oxford/Paris images span ~768-1024 px), where group batching falls
+    back to many small same-shape groups and bucket batching pads onto
+    shared canvases (the bucket-vs-group mAP drift study needs this)."""
     rng = np.random.default_rng(seed)
     jpg_dir = os.path.join(out_dir, "jpg")
     os.makedirs(jpg_dir, exist_ok=True)
+    sizes = image_size if isinstance(image_size, list) else [image_size]
+
+    def pick_size():
+        return sizes[int(rng.integers(0, len(sizes)))]
 
     imlist, labels = [], []
     for cls in range(n_classes):
         for k in range(per_class):
             name = f"img_c{cls}_{k}"
-            _draw_instance(rng, cls, image_size, hue_period=hue_period).save(
-                os.path.join(jpg_dir, name + ".jpg"))
+            _draw_instance(rng, cls, pick_size(), hue_period=hue_period
+                           ).save(os.path.join(jpg_dir, name + ".jpg"))
             imlist.append(name)
             labels.append(cls)
     # distractor/junk images: pure noise
@@ -80,8 +90,8 @@ def make_synthetic_benchmark(
     junk_global = []
     for j in range(n_junk):
         name = f"junk_{j}"
-        arr = rng.integers(0, 255, size=(image_size[1], image_size[0], 3),
-                           dtype=np.uint8)
+        jw, jh = pick_size()
+        arr = rng.integers(0, 255, size=(jh, jw, 3), dtype=np.uint8)
         Image.fromarray(arr).save(os.path.join(jpg_dir, name + ".jpg"))
         imlist.append(name)
         labels.append(-1)
@@ -91,11 +101,11 @@ def make_synthetic_benchmark(
     labels_arr = np.asarray(labels)
     for cls in range(n_classes):
         qname = f"query_c{cls}"
-        _draw_instance(rng, cls, image_size, hue_period=hue_period).save(
+        w, h = pick_size()
+        _draw_instance(rng, cls, (w, h), hue_period=hue_period).save(
             os.path.join(jpg_dir, qname + ".jpg"))
         qimlist.append(qname)
         members = np.where(labels_arr == cls)[0].tolist()
-        w, h = image_size
         entry = {"bbx": (2, 2, w - 2, h - 2), "junk": list(junk_global)}
         if revisited:
             entry["easy"] = members[: max(1, len(members) // 2)]

@@ -147,3 +147,49 @@ class TestFlipWithBuckets:
         cos_plain = (plain_b * plain_s).sum(axis=1)
         assert cos_flip.min() > cos_plain.min() - 0.05, \
             f"flip/mask misalignment: {cos_flip.min()} vs {cos_plain.min()}"
+
+
+class TestBucketDriftMixedSizes:
+    """r5 gross-regression guard for the bucket throughput mode on a
+    MIXED-size benchmark (the regime where bucket batching actually pads).
+
+    Bucket-vs-group drift is INHERENT and scale-dependent: padded-canvas
+    activations past the image edge pick up BatchNorm bias (not zeros), so
+    conv halo colors the border ring of feature cells — at this fixture's
+    ~3x3-cell maps that ring is every cell (measured mean descriptor
+    cosine 0.95, mAP delta ~0.08); at benchmark resolution (32x24 cells)
+    the ring is ~11% of cells and the measured drift is small (on-chip
+    measurement: PERF_NOTES 'Bucket-mode mAP drift'). The thresholds here
+    bound a GROSS regression (e.g. a mask-alignment bug), not the halo."""
+
+    def test_group_vs_bucket_map(self, tmp_path, extractor):
+        from dirjax.extraction import extract_image_features
+
+        sizes = [(96, 64), (64, 96), (80, 80), (112, 64), (96, 96)]
+        db = D.Synthetic(str(tmp_path / "mixed"), revisited=True,
+                         image_size=sizes, n_classes=4, per_class=4,
+                         n_junk=2, seed=3)
+        # the fixture must actually exercise padding: >1 distinct size
+        from PIL import Image
+
+        szs = {Image.open(db.get_filename(i)).size for i in range(len(db))}
+        assert len(szs) > 1
+        g = np.asarray(extract_image_features(
+            db, "", extractor, batching="group", batch_size=4, threads=2))
+        b = np.asarray(extract_image_features(
+            db, "", extractor, batching="bucket", batch_size=4, threads=2))
+        cos = (g * b).sum(1) / (np.linalg.norm(g, axis=1)
+                                * np.linalg.norm(b, axis=1))
+        assert cos.mean() > 0.90 and cos.min() > 0.80, \
+            (cos.mean(), cos.min())
+        res_g = eval_model(db, extractor, "", batching="group",
+                           batch_size=4, threads=2)
+        res_b = eval_model(db, extractor, "", batching="bucket",
+                           batch_size=4, threads=2)
+        # per-mode mAP at 4 classes is ranking noise (hard sets have 2
+        # members); guard the cross-mode mean, cosine above is the real
+        # structural check
+        keys = ("mAP-easy", "mAP-medium", "mAP-hard")
+        mg = np.mean([res_g[key] for key in keys])
+        mb = np.mean([res_b[key] for key in keys])
+        assert abs(mg - mb) < 0.15, (mg, mb)
