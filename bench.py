@@ -409,14 +409,15 @@ def bench_binary_qps(n_db: int = 1_000_000, n_bits: int = 2048,
 def bench_binary_fused_qps(n_db: int = 1_000_000, n_bits: int = 2048,
                            dim: int = 2048, nq: int = 256, k: int = 100,
                            n_iter: int = 6, asym: bool = False,
-                           rerank_factor: int = 4, _cache=_BINARY_CACHE):
+                           _cache=_BINARY_CACHE):
     """The r5 one-dispatch binary serving path (hamming_search_fused:
-    float-query encode -> MXU Hamming shortlist -> optional asym rescore,
-    ONE jit — what BinaryIndex.search dispatches). Includes the query
-    encoding the staged benches skipped (one (nq, dim) x (dim, bits)
-    matmul — ~2 GFLOP at nq=256, trivial next to the 1 Tflop corpus
-    scan). Codec projection is random (Hamming cost is code-content-
-    independent); codes corpus shared with :func:`bench_binary_qps`."""
+    float-query encode -> MXU top-k, ONE jit — what BinaryIndex.search
+    dispatches; ``asym=True`` is the EXACT asymmetric ranking, no
+    shortlist). Includes the query encoding the staged benches skipped
+    (one (nq, dim) x (dim, bits) matmul — ~2 GFLOP at nq=256, trivial
+    next to the 1 Tflop corpus scan). Codec projection is random (cost is
+    code-content-independent); codes corpus shared with
+    :func:`bench_binary_qps`."""
     from dirjax.ops.binary import BinaryCodec, hamming_search_fused
 
     w = n_bits // 32
@@ -427,10 +428,9 @@ def bench_binary_fused_qps(n_db: int = 1_000_000, n_bits: int = 2048,
                                jnp.float32) * 0.03)
     qs = [jax.random.normal(jax.random.PRNGKey(10 + j), (nq, dim),
                             jnp.float32) for j in range(n_iter)]
-    kf = max(k * rerank_factor, k) if asym else k
 
     def rank(q_):
-        vals, _ = hamming_search_fused(q_, codec, codes, k, kf=kf,
+        vals, _ = hamming_search_fused(q_, codec, codes, k,
                                        n_valid=n_db, asym=asym)
         return vals
 

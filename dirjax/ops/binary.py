@@ -354,17 +354,29 @@ def bytes_for_search(codes, tile_rows: int = _BITS_TILE) -> jnp.ndarray:
     return _pad_rows(_to_bytes(codes), tile_rows)
 
 
-def _bits_finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows):
-    """One byte-code tile: in-VMEM unpack to +-1 int8, MXU score vs the
-    unpacked queries, reduce to per-8-row fine-block maxima (the same
-    contract as topk_pallas._finemax_kernel, so _hier_select applies).
+def _bits_finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows,
+                         asym: bool = False):
+    """One byte-code tile: in-VMEM unpack to +-1, MXU score vs the
+    queries, reduce to per-8-row fine-block maxima (the same contract as
+    topk_pallas._finemax_kernel, so _hier_select applies).
 
     The byte->lane replication matmul is BLOCK-DIAGONAL (byte b only
     feeds lanes [8b, 8b+8)), so it runs as K=128 chunks — half the
-    dense-eye flops and no MXU contraction padding — and each chunk's
-    +-1 slice contracts on the int8 MXU (2x bf16 rate; +-1 products
-    accumulate exactly in int32). Both cut phase 1 from 10.85 ms to the
-    measured value in PERF_NOTES "Binary-hash tier"."""
+    dense-eye flops and no MXU contraction padding. Symmetric mode
+    (``asym=False``): each chunk's +-1 slice contracts against the +-1
+    int8 queries on the int8 MXU (2x bf16 rate; products accumulate
+    exactly in int32). Both cut phase 1 from 10.85 ms to the measured
+    value in PERF_NOTES "Binary-hash tier".
+
+    Asymmetric mode (``asym=True``, r5): ``q_ref`` holds the CONTINUOUS
+    projected queries as bf16 and each +-1 chunk contracts against them
+    on the bf16 MXU with f32 accumulation — the fine maxima are then
+    maxima of the FINAL asymmetric score, so the hierarchy selects the
+    exact asym top-k directly (no symmetric shortlist, no rerank_factor;
+    the r4 design's kf = 4k shortlist cost 10.4 ms of hier-select +
+    popcount-finish that this mode deletes — PERF_NOTES r5). Scores are
+    bf16-input/f32-accumulate — the same arithmetic as the dense bf16
+    ranking tier."""
     import jax.experimental.pallas as pl
 
     t = pl.program_id(0)
@@ -381,7 +393,7 @@ def _bits_finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows):
     eye8 = ((did >> 3) == bid).astype(jnp.bfloat16)
     shift = jax.lax.broadcasted_iota(jnp.int32, (1, cd), 1) & 7
     div = jnp.exp2(shift.astype(jnp.float32))
-    scores = jnp.zeros((nt, nq), jnp.int32)
+    scores = jnp.zeros((nt, nq), jnp.float32 if asym else jnp.int32)
     for c in range(nb // cb):
         rep = jax.lax.dot_general(                            # (T, cd) f32
             by[:, c * cb:(c + 1) * cb], eye8,
@@ -389,32 +401,38 @@ def _bits_finemax_kernel(q_ref, db_ref, fmax_ref, *, n_total, tile_rows):
             preferred_element_type=jnp.float32)
         half = jnp.floor(rep / div)
         bit = half - 2.0 * jnp.floor(half * 0.5)              # half mod 2
-        pm1 = (bit * 2.0 - 1.0).astype(jnp.int32).astype(jnp.int8)
-        scores += jax.lax.dot_general(                        # (T, nq) i32
-            pm1, q_ref[:, c * cd:(c + 1) * cd],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        pm1f = bit * 2.0 - 1.0
+        if asym:
+            scores += jax.lax.dot_general(                    # (T, nq) f32
+                pm1f.astype(jnp.bfloat16),
+                q_ref[:, c * cd:(c + 1) * cd],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            scores += jax.lax.dot_general(                    # (T, nq) i32
+                pm1f.astype(jnp.int32).astype(jnp.int8),
+                q_ref[:, c * cd:(c + 1) * cd],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
     scores = scores.astype(jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, (nt, nq), 0) + t * tile_rows
     scores = jnp.where(row < n_total, scores, -jnp.inf)
     fmax_ref[...] = scores.reshape(nt // 8, 8, nq).max(axis=1)
 
 
-@partial(jax.jit, static_argnames=("n_valid", "tile_rows", "interpret"))
-def _bits_finemax_phase1(q_packed, db_bytes, n_valid: int, tile_rows: int,
-                         interpret: bool):
+def _bits_finemax_call(q_mat, db_bytes, n_valid: int, tile_rows: int,
+                       interpret: bool, asym: bool):
+    """pallas_call wrapper shared by the symmetric (int8 ±1 queries) and
+    asymmetric (bf16 continuous queries) phase-1 variants."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # query prep INSIDE the jit: eager _to_bytes/unpack dispatches cost
-    # ~3-5 ms each through the dev tunnel (CLAUDE.md)
-    q_pm1 = unpack_pm1(_to_bytes(q_packed)).astype(jnp.int8)
-    nq, d = q_pm1.shape
+    nq, d = q_mat.shape
     nb = db_bytes.shape[1]
     tiles = db_bytes.shape[0] // tile_rows
     fpt = tile_rows // 8
     kernel = partial(_bits_finemax_kernel, n_total=n_valid,
-                     tile_rows=tile_rows)
+                     tile_rows=tile_rows, asym=asym)
     return pl.pallas_call(
         kernel,
         grid=(tiles,),
@@ -427,7 +445,26 @@ def _bits_finemax_phase1(q_packed, db_bytes, n_valid: int, tile_rows: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tiles * fpt, nq), jnp.float32),
         interpret=interpret,
-    )(q_pm1, db_bytes)
+    )(q_mat, db_bytes)
+
+
+@partial(jax.jit, static_argnames=("n_valid", "tile_rows", "interpret"))
+def _bits_finemax_phase1(q_packed, db_bytes, n_valid: int, tile_rows: int,
+                         interpret: bool):
+    # query prep INSIDE the jit: eager _to_bytes/unpack dispatches cost
+    # ~3-5 ms each through the dev tunnel (CLAUDE.md)
+    q_pm1 = unpack_pm1(_to_bytes(q_packed)).astype(jnp.int8)
+    return _bits_finemax_call(q_pm1, db_bytes, n_valid, tile_rows,
+                              interpret, asym=False)
+
+
+@partial(jax.jit, static_argnames=("n_valid", "tile_rows", "interpret"))
+def _bits_finemax_asym_phase1(vq, db_bytes, n_valid: int, tile_rows: int,
+                              interpret: bool):
+    """Asymmetric phase 1: fine-block maxima of the CONTINUOUS projected
+    query scores (bf16 MXU, f32 accumulation) — see the kernel docstring."""
+    return _bits_finemax_call(jnp.asarray(vq, jnp.bfloat16), db_bytes,
+                              n_valid, tile_rows, interpret, asym=True)
 
 
 @partial(jax.jit, static_argnames=("k", "n_valid"))
@@ -465,66 +502,181 @@ def _bits_finish(q_packed, db_bytes, bids, vmask, k: int, n_valid: int):
     return vals, jnp.where(vals > -jnp.inf, idxs, -1)
 
 
-@partial(jax.jit, static_argnames=("k", "kf", "n_valid", "tile_rows",
+def _chunk_dims(nb: int):
+    """The kernel's K-chunking (bytes, lanes per chunk) — the finish and
+    fallback stages mirror it so recomputed scores match phase-1 maxima."""
+    cb = 128 if nb % 128 == 0 else nb
+    return cb, cb * 8
+
+
+@partial(jax.jit, static_argnames=("k", "n_valid"))
+def _bits_finish_asym(vq, db_bytes, bids, vmask, k: int, n_valid: int):
+    """Asymmetric finish: gather the winning 8-row byte blocks (2 KB
+    contiguous) and rescore them with the SAME bf16-input/f32-accumulate
+    chunked contraction the asym kernel used (the containment argument
+    needs recomputed scores to equal the phase-1 scores); dense-score the
+    ragged tail identically; final top-k."""
+    vqb = jnp.asarray(vq, jnp.bfloat16)
+    nq, kf_pad = bids.shape
+    nb = db_bytes.shape[1]
+    nb_main = n_valid // 8
+    blocks = db_bytes.reshape(-1, 8, nb)
+    cand = jnp.take(blocks, bids, axis=0)            # (nq, kf_pad, 8, NB)
+    pm1 = unpack_pm1(cand).astype(jnp.bfloat16)      # fuses into the dots
+    cb, cd = _chunk_dims(nb)
+    sims = jnp.zeros((nq, kf_pad, 8), jnp.float32)
+    for c in range(nb // cb):
+        sims = sims + jnp.einsum(
+            "qkrd,qd->qkr", pm1[..., c * cd:(c + 1) * cd],
+            vqb[:, c * cd:(c + 1) * cd],
+            preferred_element_type=jnp.float32)
+    rows = (bids[:, :, None] * 8
+            + jnp.arange(8, dtype=jnp.int32)).reshape(nq, kf_pad * 8)
+    valid = jnp.repeat(vmask, 8, axis=1)
+    scores = jnp.where(valid, sims.reshape(nq, kf_pad * 8), -jnp.inf)
+    tail = n_valid - nb_main * 8
+    if tail:
+        tpm1 = unpack_pm1(db_bytes[nb_main * 8: n_valid]
+                          ).astype(jnp.bfloat16)
+        ts = jnp.zeros((nq, tail), jnp.float32)
+        for c in range(nb // cb):
+            ts = ts + jnp.einsum(
+                "qd,td->qt", vqb[:, c * cd:(c + 1) * cd],
+                tpm1[:, c * cd:(c + 1) * cd],
+                preferred_element_type=jnp.float32)
+        scores = jnp.concatenate([scores, ts], axis=1)
+        rows = jnp.concatenate(
+            [rows, jnp.tile(jnp.arange(nb_main * 8, n_valid,
+                                       dtype=jnp.int32)[None], (nq, 1))],
+            axis=1)
+    vals, pos = jax.lax.top_k(scores, k)
+    idxs = jnp.take_along_axis(rows, pos, axis=1)
+    return vals, jnp.where(vals > -jnp.inf, idxs, -1)
+
+
+@partial(jax.jit, static_argnames=("k", "n_valid", "chunk_rows"))
+def _asym_topk_xla(vq, db_bytes, k: int, n_valid: int,
+                   chunk_rows: int = 32768):
+    """Plain-XLA exact asymmetric top-k (CPU fallback; same fine-max +
+    candidate-block structure as :func:`_hamming_topk_impl`, scored with
+    the bf16 contraction instead of popcounts)."""
+    vqb = jnp.asarray(vq, jnp.bfloat16)
+    nq = vqb.shape[0]
+    n_pad = db_bytes.shape[0]
+    chunk_rows = max(128, min(chunk_rows, n_pad))
+    chunk_rows -= chunk_rows % 128
+    dbp = _pad_rows(db_bytes, chunk_rows)
+    n_chunks = dbp.shape[0] // chunk_rows
+    nb = dbp.shape[1]
+    cb, cd = _chunk_dims(nb)
+
+    def _scores(chunk, row0):
+        pm1 = unpack_pm1(chunk).astype(jnp.bfloat16)
+        s = jnp.zeros((nq, chunk.shape[0]), jnp.float32)
+        for c in range(nb // cb):
+            s = s + jnp.matmul(vqb[:, c * cd:(c + 1) * cd],
+                               pm1[:, c * cd:(c + 1) * cd].T,
+                               preferred_element_type=jnp.float32)
+        rows = row0 + jnp.arange(chunk.shape[0], dtype=jnp.int32)
+        return jnp.where(rows[None, :] < n_valid, s, -jnp.inf)
+
+    def body(best, xs):
+        ci, chunk = xs
+        s = _scores(chunk, ci * chunk_rows)
+        kk = min(k, chunk.shape[0])
+        v, i = jax.lax.top_k(s, kk)
+        i = i + ci * chunk_rows
+        bv, bi = best
+        v2 = jnp.concatenate([bv, v], axis=1)
+        i2 = jnp.concatenate([bi, i], axis=1)
+        nv, pos = jax.lax.top_k(v2, k)
+        return (nv, jnp.take_along_axis(i2, pos, axis=1)), None
+
+    init = (jnp.full((nq, k), -jnp.inf), jnp.full((nq, k), -1, jnp.int32))
+    (vals, idxs), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks, dtype=jnp.int32),
+                     dbp.reshape(n_chunks, chunk_rows, nb)))
+    return vals, jnp.where(vals > -jnp.inf, idxs, -1)
+
+
+@partial(jax.jit, static_argnames=("k", "n_valid", "tile_rows",
                                    "asym", "use_mxu", "interpret"))
-def _fused_search(q, mean, proj, db_bytes, *, k: int, kf: int, n_valid: int,
+def _fused_search(q, mean, proj, db_bytes, *, k: int, n_valid: int,
                   tile_rows: int, asym: bool, use_mxu: bool,
                   interpret: bool):
     from .topk_pallas import _hier_select
 
-    qp, vq = _binarize_project(q, mean, proj)   # vq DCEd when not asym
-    if use_mxu:
-        # Mosaic miscompiles sub-8-row dots (rank_topk_fused note): pad
-        # queries to one sublane tile and slice the answer
-        nq = qp.shape[0]
-        qpp = qp if nq >= 8 else jnp.concatenate(
-            [qp, jnp.zeros((8 - nq, qp.shape[1]), qp.dtype)])
-        fmax = _bits_finemax_phase1(qpp, db_bytes, n_valid, tile_rows,
-                                    interpret)
-        bids, vmask = _hier_select(fmax, kf, tile_rows, n_valid)
-        vals, idxs = _bits_finish(qpp, db_bytes, bids, vmask, kf, n_valid)
-        vals, idxs = vals[:nq], idxs[:nq]
-    else:
-        vals, idxs = hamming_topk(qp, db_bytes, kf, n_valid=n_valid)
+    qp, vq = _binarize_project(q, mean, proj)   # the unused one is DCEd
+    nq = qp.shape[0]
     if asym:
-        vals, idxs = asym_rescore(vq, db_bytes, idxs, k)
-    return vals, idxs
+        # EXACT asymmetric top-k: phase 1 emits fine maxima of the FINAL
+        # (continuous-query) score, so no symmetric shortlist or
+        # rerank_factor is involved (r5 — see _bits_finemax_kernel)
+        if not use_mxu:
+            return _asym_topk_xla(vq, db_bytes, k, n_valid)
+        vqq = vq if nq >= 8 else jnp.concatenate(
+            [vq, jnp.zeros((8 - nq, vq.shape[1]), vq.dtype)])
+        fmax = _bits_finemax_asym_phase1(vqq, db_bytes, n_valid, tile_rows,
+                                         interpret)
+        bids, vmask = _hier_select(fmax, k, tile_rows, n_valid)
+        vals, idxs = _bits_finish_asym(vqq, db_bytes, bids, vmask, k,
+                                       n_valid)
+        return vals[:nq], idxs[:nq]
+    if not use_mxu:
+        return hamming_topk(qp, db_bytes, k, n_valid=n_valid)
+    # Mosaic miscompiles sub-8-row dots (rank_topk_fused note): pad
+    # queries to one sublane tile and slice the answer
+    qpp = qp if nq >= 8 else jnp.concatenate(
+        [qp, jnp.zeros((8 - nq, qp.shape[1]), qp.dtype)])
+    fmax = _bits_finemax_phase1(qpp, db_bytes, n_valid, tile_rows,
+                                interpret)
+    bids, vmask = _hier_select(fmax, k, tile_rows, n_valid)
+    vals, idxs = _bits_finish(qpp, db_bytes, bids, vmask, k, n_valid)
+    return vals[:nq], idxs[:nq]
 
 
 def hamming_search_fused(queries, codec: BinaryCodec, db_bytes, k: int, *,
-                         kf: Optional[int] = None,
                          n_valid: Optional[int] = None,
                          tile_rows: int = _BITS_TILE, asym: bool = True,
                          use_mxu: Optional[bool] = None,
                          interpret: Optional[bool] = None):
     """The whole binary search as ONE device dispatch: float queries ->
     centered projection (packed codes + continuous projection from one
-    shared matmul) -> Hamming shortlist of ``kf`` candidates (the MXU
-    unpack-matmul phases on TPU, the XLA popcount scan elsewhere) ->
-    optional asymmetric rescore down to ``k``.
+    shared matmul) -> top-k (the MXU unpack-matmul phases on TPU, plain
+    XLA elsewhere).
 
-    Staged, these are 3-5 eager dispatches; through the dev tunnel each
-    adds ~12-30 ms of round-trip latency on the serving path (PERF_NOTES
-    "Index server" — the r4 PQ fusion recipe, ``serving._fused_adc_topk``,
-    applied to the binary tier). Unlike the DENSE ranking path, fusing is
-    safe here: the candidate fetch is a plain XLA gather of contiguous
-    2 KB byte blocks (``_bits_finish``), not the Pallas DMA-pipeline
-    gather whose scheduling regressed under fusion (topk_pallas
-    ``_hierarchical`` docstring). ``db_bytes`` must come from
-    :func:`bytes_for_search` (same contract as :func:`hamming_topk_mxu`).
+    ``asym=False`` ranks by the symmetric ±1 dot (``n_bits - 2*hamming``,
+    exact integers). ``asym=True`` (r5) ranks by the EXACT asymmetric
+    score — continuous projected query against ±1 codes — selected
+    directly by an asymmetric phase 1 (:func:`_bits_finemax_kernel`), so
+    there is no symmetric shortlist or ``rerank_factor``: the r4 design
+    rescored the top ``4k`` Hamming candidates, which (a) could miss rows
+    whose Hamming rank exceeded the shortlist and (b) paid 10.4 ms of
+    k=400 hierarchy-select + popcount-finish per 256-query batch
+    (PERF_NOTES r5). Asymmetric scores are bf16-input/f32-accumulate —
+    the dense bf16 ranking tier's arithmetic.
+
+    Staged, a search was 3-5 eager dispatches; through the dev tunnel
+    each adds ~12-30 ms of round-trip latency on the serving path
+    (PERF_NOTES "Index server" — the r4 PQ fusion recipe applied to the
+    binary tier). Unlike the DENSE ranking path, fusing is safe here: the
+    candidate fetch is a plain XLA gather of contiguous 2 KB byte blocks,
+    not the Pallas DMA-pipeline gather whose scheduling regressed under
+    fusion (topk_pallas ``_hierarchical`` docstring). ``db_bytes`` must
+    come from :func:`bytes_for_search` (same contract as
+    :func:`hamming_topk_mxu`).
     """
     q = jnp.asarray(queries)
     dbb = jnp.asarray(db_bytes)
     assert dbb.dtype == jnp.uint8 and dbb.shape[0] % tile_rows == 0, \
         "db_bytes must come from bytes_for_search (uint8, tile-padded)"
     n = dbb.shape[0] if n_valid is None else int(n_valid)
-    kf = k if kf is None else int(kf)
-    assert 0 < k <= kf <= n, (k, kf, n)
+    assert 0 < k <= n, (k, n)
     if use_mxu is None:
         use_mxu = jax.default_backend() == "tpu"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _fused_search(q, codec.mean, codec.proj, dbb, k=int(k), kf=kf,
+    return _fused_search(q, codec.mean, codec.proj, dbb, k=int(k),
                          n_valid=n, tile_rows=tile_rows, asym=bool(asym),
                          use_mxu=bool(use_mxu), interpret=bool(interpret))
 

@@ -556,14 +556,17 @@ class BinaryIndex(_Tombstones):
 
     The capacity point between PQ (32 B/row) and int8 (2 KB/row at
     2048-D): 2048-bit sign codes are 256 B/row — 8x the int8 corpus per
-    chip — with far higher per-row fidelity than 32-B PQ codes. Queries
-    rank by packed Hamming distance — single-chip searches run as ONE
-    fused dispatch (:func:`dirjax.ops.binary.hamming_search_fused`:
-    encode -> MXU unpack-matmul shortlist on TPU / popcount scan
-    elsewhere -> rescore); with ``asym=True`` (default) the top
-    ``rerank_factor * k`` Hamming candidates are rescored asymmetrically
-    — continuous projected query against ±1 codes — which recovers most
-    of the query-side quantization loss without storing any float rows.
+    chip — with far higher per-row fidelity than 32-B PQ codes.
+    Single-chip searches run as ONE fused dispatch
+    (:func:`dirjax.ops.binary.hamming_search_fused`). ``asym=False``
+    ranks by packed Hamming distance (MXU unpack-matmul kernel on TPU,
+    popcount scan elsewhere). ``asym=True`` (default) ranks by the EXACT
+    asymmetric score — continuous projected query against ±1 codes,
+    selected directly by an asymmetric phase 1 (r5) — which recovers
+    most of the query-side quantization loss without storing any float
+    rows and without the r4 design's symmetric shortlist (whose
+    ``rerank_factor * k`` rescore could miss rows and cost 10 ms/batch
+    of selection at k=100 — PERF_NOTES).
 
     The codec is learned from the indexed corpus (ITQ: PCA + an iterative
     orthogonal rotation that balances bit variance,
@@ -622,7 +625,9 @@ class BinaryIndex(_Tombstones):
         ±1 dot product ``n_bits - 2*hamming``; asymmetric scores are the
         continuous projected dot product — both sort descending like every
         other index tier. Hamming distances tie often: exact *values*,
-        tie-broken indices."""
+        tie-broken indices. ``rerank_factor`` sizes the per-shard
+        asymmetric-rescore shortlist on MESH indexes; single-chip
+        searches are exact under their score and ignore it (r5)."""
         q = np.asarray(queries)
         if q.dtype.name != "bfloat16":   # bf16 passes through: the server's
             q = q.astype(np.float32)     # upload_bf16 path halves the
@@ -651,17 +656,15 @@ class BinaryIndex(_Tombstones):
                 qp, self._codes, min(k + pad, self.n), self.mesh, self.n,
                 vq=vq, rerank_factor=rerank_factor)
         else:
-            # ONE dispatch: encode -> Hamming shortlist -> asym rescore
-            # (r5; eagerly staged this was 3-5 dispatches, each a tunnel
-            # round trip — the PQ fusion recipe applied to binary)
-            kk = min(k + pad, self.n)
-            kf = min(max(k * rerank_factor, k) + pad, self.n) \
-                if self.asym else kk
+            # ONE dispatch (r5): encode -> top-k. asym indexes rank by
+            # the EXACT asymmetric score (no symmetric shortlist —
+            # rerank_factor applies to the mesh path only); eagerly
+            # staged this was 3-5 dispatches, each a tunnel round trip
             from .ops.binary import hamming_search_fused
 
             vals, idxs = hamming_search_fused(
-                jnp.asarray(q), self.codec, self._codes, kk, kf=kf,
-                n_valid=self.n, asym=self.asym)
+                jnp.asarray(q), self.codec, self._codes,
+                min(k + pad, self.n), n_valid=self.n, asym=self.asym)
         vals, idxs = _pull_vi(vals, idxs)   # ONE host transfer
         if pad:
             vals, idxs = self._tomb_filter(vals, idxs, k)

@@ -116,8 +116,10 @@ def tune(index, queries, ground_truth=None, *, k: int = 10,
       ``rerank_factor`` when the index keeps int8 rerank rows;
     * ``PQIndex`` — ``rerank_factor`` (rerank indexes; plain ADC has no
       knob and just gets measured);
-    * ``BinaryIndex`` — ``rerank_factor`` (the asymmetric-rescore
-      shortlist width; symmetric indexes just get measured);
+    * ``BinaryIndex`` — ``rerank_factor`` on MESH indexes only (the
+      per-shard asymmetric-rescore shortlist width); single-chip
+      searches are exact under their score (symmetric integers, or the
+      r5 exact-asym ranking) and just get measured;
     * ``RetrievalIndex`` — exact already: measured once, no sweep.
 
     Returns the first (cheapest) configuration meeting the target, or
@@ -154,8 +156,11 @@ def tune(index, queries, ground_truth=None, *, k: int = 10,
         grid = [({} if rf is None else {"rerank_factor": rf})
                 for rf in rfs]
     elif isinstance(index, BinaryIndex):
+        # single-chip asym search is EXACT under the asym score (r5 —
+        # no shortlist knob left to tune); the mesh path still rescores
+        # per-shard Hamming shortlists of rerank_factor*k
         grid = [{"rerank_factor": rf} for rf in rerank_factors] \
-            if index.asym else [{}]
+            if (index.asym and index.mesh is not None) else [{}]
     elif isinstance(index, RetrievalIndex):
         grid = [{}]
     else:

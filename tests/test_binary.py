@@ -255,10 +255,13 @@ class TestBinaryIndex:
         # clusters cleanly even though they cannot order rows within one
         assert _cluster_recall(i_sym, db_cls, q_cls) > 0.9
         assert _cluster_recall(i_asym, db_cls, q_cls) > 0.9
-        # fine-grained (exact-index) recall is tie-limited here, but the
-        # asymmetric rescore must never do worse than symmetric Hamming
+        # fine-grained (exact-index) recall is tie-limited here. r5: asym
+        # is now the EXACT top-k under the continuous score (not a
+        # reorder of the symmetric shortlist), so pointwise >= vs the
+        # float gt no longer holds structurally on tie-heavy 64-bit
+        # codes — allow tie-luck noise but no systematic loss
         r_sym, r_asym = _recall(i_sym, gt, 10), _recall(i_asym, gt, 10)
-        assert r_asym >= r_sym, (r_sym, r_asym)
+        assert r_asym >= r_sym - 0.05, (r_sym, r_asym)
 
     def test_self_query_found(self, clustered):
         db = clustered[0]
@@ -381,8 +384,10 @@ class TestShardedBinary:
         shard = BinaryIndex(db, itq_iters=3, sample=None, seed=1, mesh=mesh)
         sv, _ = single.search(q, k=7, rerank_factor=100)
         mv, mi = shard.search(q, k=7, rerank_factor=100)
-        # deep rerank -> identical continuous score sets (ties may permute)
-        np.testing.assert_allclose(sv, mv, rtol=1e-5)
+        # deep mesh rerank -> the same top score set, up to arithmetic:
+        # single-chip asym scores are bf16-input/f32-accumulate (r5),
+        # the mesh rescore einsum is fp32 HIGHEST
+        np.testing.assert_allclose(sv, mv, rtol=5e-3)
         assert int(np.asarray(mi).max()) < len(db)
 
     def test_mesh_add_remove_compact(self, clustered, mesh):
@@ -400,11 +405,27 @@ class TestShardedBinary:
 
 
 class TestTuning:
-    def test_tune_sweeps_rerank_factor(self, clustered):
+    def test_tune_single_chip_asym_has_no_knob(self, clustered):
+        """r5: single-chip asym search is exact under its score — the
+        tuner measures it once instead of sweeping rerank_factor."""
         from dirjax.tuning import tune
 
         db, q = clustered[:2]
         idx = BinaryIndex(db, itq_iters=5, sample=None)
+        res = tune(idx, q, k=5, target=0.6, descriptors=db)
+        assert res.trials == [(dict(), res.trials[0][1])]
+        assert res.met == (res.recall >= 0.6)
+
+    def test_tune_sweeps_rerank_factor_on_mesh(self, clustered):
+        from dirjax.tuning import tune
+
+        import jax
+
+        from dirjax.parallel import make_mesh
+
+        db, q = clustered[:2]
+        mesh = make_mesh(data=1, db=8, devices=jax.devices()[:8])
+        idx = BinaryIndex(db, itq_iters=5, sample=None, mesh=mesh)
         res = tune(idx, q, k=5, target=0.6, descriptors=db)
         assert res.trials and "rerank_factor" in res.trials[0][0]
         assert res.met == (res.recall >= 0.6)
@@ -468,40 +489,79 @@ class TestCLI:
 
 
 class TestFusedSearch:
-    """r5: the ONE-dispatch search (encode -> Hamming shortlist -> asym
-    rescore) must reproduce the staged pipeline exactly, on both ranking
-    backends (MXU kernel in interpret mode, and the XLA popcount scan)."""
+    """r5: the ONE-dispatch search (encode -> top-k). Symmetric mode must
+    reproduce the staged pipeline exactly on both ranking backends;
+    asymmetric mode is the EXACT top-k under the continuous-query score
+    (bf16-input/f32-accumulate) — graded against a brute-force oracle,
+    with MXU-interpret and XLA-fallback paths agreeing with each other."""
 
-    def _staged(self, q, codec, db_bytes, n, k, kf, asym, mxu):
-        from dirjax.ops.binary import (asym_rescore, binarize_and_project,
-                                       hamming_topk, hamming_topk_mxu)
-
-        qp, vq = binarize_and_project(jnp.asarray(q), codec)
-        rank = hamming_topk_mxu if mxu else hamming_topk
-        if asym:
-            _, cand = rank(qp, db_bytes, kf, n_valid=n)
-            return asym_rescore(vq, db_bytes, cand, k)
-        return rank(qp, db_bytes, k, n_valid=n)
-
-    @pytest.mark.parametrize("asym,mxu", [(True, True), (True, False),
-                                          (False, True), (False, False)])
-    def test_fused_matches_staged(self, rng, asym, mxu):
-        from dirjax.ops.binary import (bytes_for_search, binarize,
-                                       hamming_search_fused)
-
-        n, d, bits, k = 900, 48, 32, 9
+    def _corpus(self, rng, n=900, d=64, bits=32):
         db = rng.normal(size=(n, d)).astype(np.float32)
         q = rng.normal(size=(5, d)).astype(np.float32)
         codec = fit_itq(db, bits, iters=3)
-        dbb = bytes_for_search(binarize(db, codec))
-        kf = 4 * k if asym else k
-        v1, i1 = hamming_search_fused(q, codec, dbb, k, kf=kf, n_valid=n,
-                                      asym=asym, use_mxu=mxu,
+        from dirjax.ops.binary import binarize, bytes_for_search
+
+        return db, q, codec, bytes_for_search(binarize(db, codec))
+
+    @pytest.mark.parametrize("mxu", [True, False])
+    def test_fused_sym_matches_staged(self, rng, mxu):
+        from dirjax.ops.binary import (hamming_search_fused, hamming_topk,
+                                       hamming_topk_mxu,
+                                       binarize_and_project)
+
+        n, k = 900, 9
+        db, q, codec, dbb = self._corpus(rng, n=n)
+        v1, i1 = hamming_search_fused(q, codec, dbb, k, n_valid=n,
+                                      asym=False, use_mxu=mxu,
                                       interpret=True)
-        v2, i2 = self._staged(q, codec, dbb, n, k, kf, asym, mxu)
-        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
-                                   rtol=1e-6)
+        qp, _ = binarize_and_project(jnp.asarray(q), codec)
+        rank = hamming_topk_mxu if mxu else hamming_topk
+        v2, i2 = rank(qp, dbb, k, n_valid=n)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_fused_asym_matches_oracle(self, rng):
+        """Asym top-k vs the brute-force continuous-query oracle: the
+        returned values must equal the oracle scores OF the returned
+        rows (bf16 tolerance), and the selected set must match the
+        fp32 oracle's top-k wherever the margin exceeds bf16 noise."""
+        from dirjax.ops.binary import (hamming_search_fused, project_queries,
+                                       unpack_pm1)
+
+        n, k = 900, 9
+        db, q, codec, dbb = self._corpus(rng, n=n)
+        vq = np.asarray(project_queries(q, codec))
+        pm1 = np.asarray(unpack_pm1(jnp.asarray(dbb[:n])))
+        oracle = vq @ pm1.T                          # (5, n) fp32
+        for mxu in (True, False):
+            v, i = hamming_search_fused(q, codec, dbb, k, n_valid=n,
+                                        asym=True, use_mxu=mxu,
+                                        interpret=True)
+            v, i = np.asarray(v), np.asarray(i)
+            got = np.take_along_axis(oracle, i, axis=1)
+            # returned values are the (bf16-input) scores of those rows
+            np.testing.assert_allclose(v, got, rtol=2e-2, atol=0.5)
+            # the k-th..(k+1)-th oracle gap bounds which ranks bf16 can
+            # legally swap; with a clear margin the sets must agree
+            top = np.argsort(-oracle, axis=1)
+            for r in range(len(q)):
+                margin = oracle[r, top[r, k - 1]] - oracle[r, top[r, k]]
+                if margin > 0.2:   # far above bf16 rounding at these norms
+                    assert set(i[r]) == set(top[r, :k].tolist())
+
+    def test_fused_asym_backends_agree(self, rng):
+        from dirjax.ops.binary import hamming_search_fused
+
+        n, k = 1100, 7
+        db, q, codec, dbb = self._corpus(rng, n=n, bits=32)
+        v1, i1 = hamming_search_fused(q, codec, dbb, k, n_valid=n,
+                                      asym=True, use_mxu=True,
+                                      interpret=True)
+        v2, i2 = hamming_search_fused(q, codec, dbb, k, n_valid=n,
+                                      asym=True, use_mxu=False,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-3, atol=1e-3)
 
     def test_fused_single_query(self, rng):
         from dirjax.ops.binary import (bytes_for_search, binarize,
@@ -511,7 +571,8 @@ class TestFusedSearch:
         db = rng.normal(size=(n, d)).astype(np.float32)
         codec = fit_itq(db, 32, iters=2)
         dbb = bytes_for_search(binarize(db, codec))
-        v, i = hamming_search_fused(db[:1], codec, dbb, 3, kf=12,
-                                    n_valid=n, use_mxu=True,
-                                    interpret=True)
-        assert v.shape == (1, 3) and int(i[0, 0]) == 0  # self-match
+        for asym in (False, True):
+            v, i = hamming_search_fused(db[:1], codec, dbb, 3,
+                                        n_valid=n, asym=asym,
+                                        use_mxu=True, interpret=True)
+            assert v.shape == (1, 3) and int(i[0, 0]) == 0  # self-match
