@@ -115,7 +115,14 @@ class TestModuleMains:
             env={**os.environ, "JAX_PLATFORMS": "cpu"})
         assert "resnet101_rmac" in out.stdout
 
-    def test_kapture_requires_package(self, ckpt_path):
+    def test_kapture_requires_package(self, ckpt_path, monkeypatch):
+        # another test file may have installed the kapture SHIM into
+        # sys.modules (order-dependent leak); this test is specifically
+        # about the package being ABSENT
+        monkeypatch.delitem(sys.modules, "kapture", raising=False)
+        monkeypatch.delitem(sys.modules, "kapture.io.csv", raising=False)
+        monkeypatch.delitem(sys.modules, "kapture.io.features",
+                            raising=False)
         from dirjax.cli.extract_kapture import extract_kapture_global_features
 
         with pytest.raises(ImportError, match="kapture"):
