@@ -54,51 +54,63 @@ OUT_FILE = "RECALL_r05.json"
 # --------------------------------------------------------------------------
 
 def train(args):
+    import time
+
     import jax
     import jax.numpy as jnp
+    import optax
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
     from dirjax.models import create_model
-    from dirjax.train import TrainConfig, make_optimizer, make_train_step
+    from dirjax.train import TrainConfig, make_train_step
     from dirjax.utils.checkpoints import Checkpoint, save_native
 
     assert args.batch % args.views == 0, "--views must divide --batch"
     cpb = args.batch // args.views      # classes per batch
     h = w = args.size
+    # deliberately the EXACT bench_train_step configuration (same arch /
+    # batch / plain optax.adam / bf16 / make_train_step): its compiled
+    # step is already in the persistent compilation cache from the bench
+    # runs — a bespoke optimizer graph here costs a multi-minute (worst
+    # case: much longer) remote compile for zero study value
     cfg = TrainConfig(arch=args.arch, loss="ap", batch_size=args.batch,
-                      image_size=args.size, optimizer="adam",
-                      learning_rate=args.lr, freeze_bn=True, seed=0)
+                      image_size=args.size, learning_rate=args.lr, seed=0)
     model = create_model(cfg.arch)
+    t0 = time.time()
     params = model.init(jax.random.PRNGKey(cfg.seed))
-    tx = make_optimizer(cfg, params, total_steps=args.steps)
+    tx = optax.adam(cfg.learning_rate)
     opt_state = tx.init(params)
     step = make_train_step(model, cfg, tx, dtype=jnp.bfloat16)
     class_key = jax.random.PRNGKey(777)   # class identity: scene per class
 
     @jax.jit
-    def fused_step(params, opt_state, key, cls_ids):
+    def make_batch(key, cls_ids):
         # class c's base scene is DETERMINISTIC (fold_in by class id), so
         # the same class re-appears across steps; each example is an
         # independent jittered view — the Siamese multi-crop recipe with
-        # the corpus generated on device (no loader, no host bytes)
+        # the corpus generated on device (no loader, no host bytes).
+        # Kept a SEPARATE jit from the train step so the step program
+        # stays byte-identical to the bench's cached one.
         scenes = jax.vmap(
             lambda c: _scene_batch(jax.random.fold_in(class_key, c),
                                    1, h, w)[0])(cls_ids)
         reps = jnp.repeat(scenes, args.views, axis=0)
-        imgs = _query_views(key, reps)
-        labels = jnp.repeat(cls_ids, args.views)
-        return step(params, opt_state, imgs, labels)
+        return _query_views(key, reps)
 
     losses = []
     for it in range(args.steps):
         key = jax.random.PRNGKey(10_000 + it)
-        cls_ids = jax.random.randint(jax.random.fold_in(key, 1), (cpb,),
-                                     0, args.n_classes)
-        params, opt_state, loss = fused_step(params, opt_state, key,
-                                             cls_ids)
+        cls_np = np.random.default_rng(it).integers(0, args.n_classes,
+                                                    size=cpb)
+        imgs = make_batch(key, jnp.asarray(cls_np, jnp.int32))
+        labels = jnp.asarray(np.repeat(cls_np, args.views))
+        params, opt_state, loss = step(params, opt_state, imgs, labels)
         losses.append(float(loss))
-        if (it + 1) % 25 == 0 or it == 0:
+        if it == 0:
+            print(f"first step done (compiles: {time.time()-t0:.0f}s)",
+                  flush=True)
+        if (it + 1) % 25 == 0:
             recent = sum(losses[-25:]) / len(losses[-25:])
             print(f"step {it + 1}/{args.steps} ap-loss {recent:.4f}",
                   flush=True)
@@ -482,9 +494,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
     pt = sub.add_parser("train")
-    pt.add_argument("--arch", default="resnet50_rmac")
+    pt.add_argument("--arch", default="resnet101_rmac")
     pt.add_argument("--steps", type=int, default=400)
-    pt.add_argument("--batch", type=int, default=32)
+    pt.add_argument("--batch", type=int, default=16)
     pt.add_argument("--views", type=int, default=4,
                     help="jittered views per class per batch")
     pt.add_argument("--n-classes", type=int, default=256)
