@@ -405,7 +405,7 @@ def evaluate(args):
                             itq_iters=30)
         grade("pca256_itq256_asym_rf4",
               lambda k: bi256.search(q256, k=k, rerank_factor=4)[1],
-              note="32 B/row sign codes in the reduced space")
+              note="32 B/row sign codes in the reduced space, exact asym")
 
     # --- IVF-PQ -----------------------------------------------------------
     nlist = max(16, int(np.sqrt(n)))
@@ -429,7 +429,7 @@ def evaluate(args):
                   lambda k, sym=sym: sym.search(q, k=k)[1])
             grade(f"itq{bits}_asym_rf4",
                   lambda k, bi=bi: bi.search(q, k=k, rerank_factor=4)[1],
-                  note="asymmetric float rescore of 4k Hamming candidates")
+                  note="exact asymmetric ranking (r5 fused search)")
 
     # --- tuner validation on held-out queries ----------------------------
     if wants("ivf|tuner"):
