@@ -227,6 +227,11 @@ def extract(args):
 
         ck = load_native(args.checkpoint)
         model, params = ck.model, ck.params
+        # load_native returns HOST numpy params; without this device_put
+        # every async extract_batch dispatch stages its own copy of the
+        # ~190 MB param upload, and 512 queued batches OOM the host
+        # (measured: 112 GB RSS before the r5 fix)
+        params = jax.device_put(params)
         print(f"extracting with {model.arch} from {args.checkpoint}",
               flush=True)
     else:                 # random init (the r4 flat-spectrum worst case)
