@@ -18,15 +18,19 @@ through the tunnel would measure dispatch overhead, not kernels
 (CLAUDE.md) — structural order is the honest proxy.
 
 Expectations to bring to a tuning run (measured on real R101-GeM
-descriptor spectra — ``recall_study.py`` / RECALL_r04.json / PERF_NOTES
-"Recall on realistic descriptor spectra"): int8 is near-lossless; 32-64 B
-PQ/OPQ/IVF codebooks collapse on flat (whitened random-init) spectra and
-NO knob setting rescues them — ``tune`` then honestly returns
-``met=False`` with best-effort knobs; ITQ-2048 asym holds R@10 ≈ 0.6 on
-the same worst case; and PQ after a ``whitenv`` dim reduction tunes to
-target against its own space's exact oracle. A ``met=False`` result is a
-signal to change TIER (or reduce dims first), not to re-run with a wider
-grid.
+descriptor spectra, both random-init flat and fine-tuned concentrated —
+``recall_study.py`` / RECALL_r05.json / PERF_NOTES "Recall on realistic
+descriptor spectra"): int8 is near-lossless on any spectrum; 32-64 B
+PQ/OPQ codebooks are SPECTRUM-GATED — R@10 0.03-0.11 on the flat
+worst case (no knob setting rescues them; ``tune`` then honestly
+returns ``met=False`` with best-effort knobs) but 0.45-0.74 once the
+variance concentrates (rank-for-99% ~100); ITQ-2048 asym holds R@10
+0.64-0.92 across the same pair; PQ after a ``whitenv`` dim reduction
+tunes to target against its own space's exact oracle on both spectra;
+and IVF's m32/ks16 residual ADC stays under R@10 0.45 even trained —
+its knob is scan fraction, not recall. A ``met=False`` result is a
+signal to change TIER (or reduce dims first), not to re-run with a
+wider grid.
 """
 
 from __future__ import annotations
