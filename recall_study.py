@@ -421,6 +421,23 @@ def evaluate(args):
             grade(f"ivf_nlist{nlist}_nprobe{nprobe}",
                   lambda k, p=nprobe: ivf.search(q, k=k, nprobe=p)[1])
 
+    # --- IVF with an 8-bit residual ADC (r5 follow-up) --------------------
+    # The trained-spectrum study attributed IVF's recall ceiling to its
+    # m32/ks16 residual codebooks, not to probing (nprobe=nlist matched
+    # the same ADC as a flat scan). Grade the identical cell geometry
+    # with ksub=256 (still 32 B/row) plus its flat-scan equivalent, so
+    # the cost of probing vs the cost of the ADC stay separable.
+    if wants("ivf256|pq_m32k256_full"):
+        pq_full256 = PQIndex(db, m=32, ksub=256, seed=0, train_iters=10)
+        grade("pq_m32k256_full",
+              lambda k: pq_full256.search(q, k=k)[1],
+              note="flat-scan equivalent of ivf256's ADC budget")
+        ivf256 = IVFPQIndex(db, nlist=nlist, m=32, ksub=256, seed=0,
+                            train_iters=10)
+        for nprobe in (4, 16):
+            grade(f"ivf256_nlist{nlist}_nprobe{nprobe}",
+                  lambda k, p=nprobe: ivf256.search(q, k=k, nprobe=p)[1])
+
     # --- binary ITQ -------------------------------------------------------
     if wants("itq512|itq2048"):
         for bits in (512, 2048):
