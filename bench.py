@@ -259,8 +259,11 @@ def bench_pq_device_qps(n_db: int = 1_000_000, m: int = 32, ksub: int = 16,
                             jnp.float32)
     luts = pq_lookup(jax.random.normal(jax.random.PRNGKey(5), (nq, dim),
                                        jnp.float32), cbs)
+    # mirror pq_topk's adaptive fine block (8-row blocks past mk=1024
+    # keep the phase-C one-hot at ks16 size — PERF_NOTES r5)
+    block = 8 if m * ksub > 1024 else _BLOCK
     fn = functools.partial(_pq_topk_hier, n_valid=jnp.int32(n_db), k=k,
-                           chunk=chunk, block=_BLOCK, dt_name="bfloat16",
+                           chunk=chunk, block=block, dt_name="bfloat16",
                            phase_a="pallas", n_static=n_db)
     sec = _timed_loop(lambda l, c: fn(l, c)[0], (luts, codes), n_iter)
     return nq / sec
@@ -772,6 +775,12 @@ def main():
         # would need 64 GB)
         extras["pq_qps_16M_m32k16_bf16_nq256"] = round(
             bench_pq_qps(n_db=16_000_000), 1)
+        # the 8-bit ADC the recall study recommends on concentrated
+        # spectra (RECALL_r05 trained: R@10 0.65 vs 0.45 for ks16 at the
+        # same 32 B/row); mk=8192 exceeds the Pallas one-hot VMEM gate,
+        # so this measures the XLA scan path
+        extras["pq_qps_1M_m32k256_bf16_nq256"] = round(
+            bench_pq_qps(ksub=256), 1)
     except Exception as e:
         extras["pq_error"] = str(e)[:120]
     finally:

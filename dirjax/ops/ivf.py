@@ -444,10 +444,11 @@ def _ivf_topk_union(luts, q, centroids_v, probe_adjust, vlist_tab, codes,
     rows_mat = cand_codes.reshape(s_u * slab, m)
     luts_flat_t = luts.astype(dt).reshape(nq, -1).T         # (mk, nq)
     if phase_a in ("pallas", "interpret"):
-        from .pq import _PALLAS_TILE, _adc_finemax_pallas
+        from .pq import _adc_finemax_pallas, _pallas_geometry
 
         mk = luts_flat_t.shape[0]
-        tile = _PALLAS_TILE if mk <= 512 else _PALLAS_TILE // 2
+        tile, groups = _pallas_geometry(mk, m, nq,
+                                        jnp.dtype(dt).itemsize)
         tile = max(slab, (tile // slab) * slab)
         fpt = tile // slab
         n_tiled = rows_mat.shape[0] + ((-rows_mat.shape[0]) % tile)
@@ -463,7 +464,8 @@ def _ivf_topk_union(luts, q, centroids_v, probe_adjust, vlist_tab, codes,
                 [rows_mat, jnp.zeros((pad, m), rows_mat.dtype)])
         fmax = _adc_finemax_pallas(
             luts_flat_t, rows_mat, s_u * slab, tile_rows=tile, block=slab,
-            interpret=phase_a == "interpret").T[:, :s_u]    # (nq, S_u)
+            interpret=phase_a == "interpret",
+            groups=groups).T[:, :s_u]                       # (nq, S_u)
     else:
         from .pq import _onehot_scores
 
@@ -518,9 +520,7 @@ def ivf_topk(luts, q, ivf: IVFArrays, k: int, *, nprobe: int = 8,
     q = jnp.asarray(q, jnp.float32)
     dt_name = jnp.dtype(_adc_modes(compute_dtype)[0]).name
     if union:
-        mk = luts.shape[1] * luts.shape[2]
-        phase_a = "pallas" if (jax.default_backend() == "tpu"
-                               and mk <= 1024) else "xla"
+        phase_a = "pallas" if jax.default_backend() == "tpu" else "xla"
         return _ivf_topk_union(luts, q, ivf.centroids_v, ivf.probe_adjust,
                                ivf.vlist_tab, ivf.codes, ivf.slab_rows,
                                k, nprobe, dt_name, phase_a)

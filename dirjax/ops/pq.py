@@ -295,6 +295,34 @@ def _descend_maxima(fmax, k: int):
 _PALLAS_TILE = 1024
 
 
+def _pallas_geometry(mk: int, m: int, nq: int,
+                     dt_bytes: int) -> Tuple[int, int]:
+    """(tile_rows, groups) for the phase-A kernel under a VMEM budget.
+
+    mk <= 1024 keeps the r3-measured single-slice geometry untouched.
+    Past that (8-bit codebooks: m=32/ksub=256 is mk=8192) the flat id
+    axis is cut into the smallest number of ksub-aligned slices (a
+    divisor of m) of <= 512 lanes — the width the original kernel was
+    tuned at — and the row tile is the largest of 1024/512/256 whose
+    conservative estimate fits 12 MB of the 16 MB scope: the whole LUT
+    (mk*nq*dt) and expansion matrix (m*mk*2 bf16) stay resident, plus
+    per tile the codes, ONE slice's f32 rep + one-hot, and the f32
+    score accumulator. Over-VMEM compiles WEDGE this chip (CLAUDE.md),
+    hence estimate-first instead of try/fail."""
+    if mk <= 512:
+        return _PALLAS_TILE, 1
+    if mk <= 1024:
+        return _PALLAS_TILE // 2, 1
+    groups = next(g for g in range(2, m + 1)
+                  if m % g == 0 and mk // g <= 512)
+    g = mk // groups
+    fixed = mk * nq * dt_bytes + m * mk * 2
+    for tile in (1024, 512, 256):
+        if fixed + tile * (m + 4 * g + dt_bytes * g + 4 * nq) <= 12 << 20:
+            return tile, groups
+    return 256, groups
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "chunk", "block", "dt_name",
                                     "phase_a", "n_static"))
@@ -318,9 +346,8 @@ def _pq_topk_hier(luts, codes_pad, n_valid, k: int, chunk: int, block: int,
     if phase_a in ("pallas", "interpret"):
         assert n_static >= 0, "pallas phase A needs the static row count"
         mk = luts.shape[1] * luts.shape[2]
-        # the in-VMEM rep (f32) + one-hot (bf16) cost ~6 B * tile * mk;
-        # tile 1024 at mk=1024 measured 0.8 MB over the 16 MB scope
-        tile = _PALLAS_TILE if mk <= 512 else _PALLAS_TILE // 2
+        tile, groups = _pallas_geometry(mk, m, nq,
+                                        jnp.dtype(dt).itemsize)
         tile = min(tile, codes_pad.shape[0])
         tile = max(block, (tile // block) * block)   # kernel reshapes
         #                                              (tile//block, block)
@@ -339,7 +366,8 @@ def _pq_topk_hier(luts, codes_pad, n_valid, k: int, chunk: int, block: int,
         luts_flat_t = luts.astype(dt).reshape(nq, -1).T   # (m*ksub, nq)
         fmax = _adc_finemax_pallas(
             luts_flat_t, cp, n_static, tile_rows=tile, block=block,
-            interpret=phase_a == "interpret").T           # (nq, N/block)
+            interpret=phase_a == "interpret",
+            groups=groups).T                              # (nq, N/block)
     else:
         nchunks = codes_pad.shape[0] // chunk
         chunks = codes_pad.reshape(nchunks, chunk, m)
@@ -405,7 +433,7 @@ _BLOCK = 64
 
 
 def _adc_finemax_kernel(lut_ref, codes_ref, expand_ref, fmax_ref, *,
-                        n_total, tile_rows, block, ksub):
+                        n_total, tile_rows, block, ksub, groups=1):
     t = pl.program_id(0)
     # one-hot over the FLAT (m*ksub) id axis: lane l belongs to subspace
     # l//ksub and centroid l%ksub, so oh[r, l] = (codes[r, l//ksub] ==
@@ -415,45 +443,65 @@ def _adc_finemax_kernel(lut_ref, codes_ref, expand_ref, fmax_ref, *,
     # toolchain). Code values <= 255 are exact in bf16, so the tiny
     # (tile, m) x (m, m*ksub) dot reproduces them exactly.
     # uint8 -> bf16 has no direct Mosaic lowering; hop via int32/f32
+    #
+    # For large ksub the (tile, m*ksub) rep/one-hot would blow scoped
+    # VMEM (16 MB at m=32/ksub=256/tile=1024), so the flat id axis is
+    # processed in ``groups`` static slices, accumulating the score dot.
+    # Slices are ksub-aligned (g = mk/groups is a multiple of ksub), so
+    # the LOCAL lane iota % ksub still names the right centroid, and the
+    # expansion matrix rows outside a slice's subspaces are zero there —
+    # slicing E's lanes (512-multiples) is exact. groups=1 is the
+    # original whole-width kernel.
     codes_bf = codes_ref[...].astype(jnp.int32).astype(jnp.float32) \
         .astype(jnp.bfloat16)
-    rep = jax.lax.dot_general(
-        codes_bf, expand_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (tile, m*ksub)
-    lane_c = jax.lax.broadcasted_iota(
-        jnp.int32, rep.shape, 1) % ksub
-    oh = (rep == lane_c.astype(jnp.float32)).astype(lut_ref.dtype)
-    scores = jax.lax.dot_general(
-        oh, lut_ref[...],                                 # (m*ksub, nq)
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=(jax.lax.Precision.HIGHEST
-                   if lut_ref.dtype == jnp.float32 else None),
-        preferred_element_type=jnp.float32)               # (tile, nq)
-    nt, nq = scores.shape
+    mk = expand_ref.shape[1]
+    g = mk // groups
+    nt = codes_bf.shape[0]
+    nq = lut_ref.shape[1]
+    scores = jnp.zeros((nt, nq), jnp.float32)
+    for j in range(groups):
+        rep = jax.lax.dot_general(
+            codes_bf, expand_ref[:, j * g:(j + 1) * g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (tile, g)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1) % ksub
+        oh = (rep == lane_c.astype(jnp.float32)).astype(lut_ref.dtype)
+        scores = scores + jax.lax.dot_general(
+            oh, lut_ref[j * g:(j + 1) * g, :],            # (g, nq)
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=(jax.lax.Precision.HIGHEST
+                       if lut_ref.dtype == jnp.float32 else None),
+            preferred_element_type=jnp.float32)           # (tile, nq)
     row = jax.lax.broadcasted_iota(jnp.int32, (nt, nq), 0) + t * tile_rows
     scores = jnp.where(row < n_total, scores, -jnp.inf)
     fmax_ref[...] = scores.reshape(nt // block, block, nq).max(axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_valid", "tile_rows",
-                                             "block", "interpret"))
+                                             "block", "interpret",
+                                             "groups"))
 def _adc_finemax_pallas(luts_flat_t, codes_pad, n_valid: int,
-                        tile_rows: int, block: int, interpret: bool):
+                        tile_rows: int, block: int, interpret: bool,
+                        groups: int = 1):
     """(NB, nq) fine-block ADC maxima. ``luts_flat_t`` is (m*ksub, nq) in
     the compute dtype; ``codes_pad`` rows must be a ``tile_rows``
-    multiple. VMEM per tile: codes (tile*m B) + one-hot (tile*m*ksub*2 B
-    bf16) + scores (tile*nq*4 B) — tile 1024 at m=32/ksub=16/nq=256 is
-    ~2.3 MB, well under the 16 MB scope."""
+    multiple. VMEM per tile: codes (tile*m B) + one-hot
+    (tile*(m*ksub/groups)*2 B bf16, per slice) + scores (tile*nq*4 B) —
+    tile 1024 at m=32/ksub=16/nq=256/groups=1 is ~2.3 MB, well under the
+    16 MB scope; large-ksub callers pass ``groups`` so each slice stays
+    small (see :func:`_pallas_geometry`)."""
     mk, nq = luts_flat_t.shape
     m = codes_pad.shape[1]
     ksub = mk // m
+    assert mk % groups == 0 and (mk // groups) % ksub == 0, \
+        "groups must split the flat id axis on subspace boundaries"
     tiles = codes_pad.shape[0] // tile_rows
     fpt = tile_rows // block
     expand = jnp.repeat(jnp.eye(m, dtype=jnp.bfloat16), ksub, axis=1)
     return pl.pallas_call(
         functools.partial(_adc_finemax_kernel, n_total=n_valid,
-                          tile_rows=tile_rows, block=block, ksub=ksub),
+                          tile_rows=tile_rows, block=block, ksub=ksub,
+                          groups=groups),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((mk, nq), lambda t: (0, 0),
@@ -495,6 +543,15 @@ def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
     n = codes.shape[0] if n_valid is None else int(n_valid)
     assert n <= codes.shape[0], (n, codes.shape)
     dt_name = jnp.dtype(_adc_modes(compute_dtype)[0]).name
+    if block == _BLOCK and luts.shape[1] * luts.shape[2] > 1024:
+        # large-ksub phase C: the candidate rescore builds k*block*m*ksub
+        # one-hot elements per query — at m=32/ksub=256 the default
+        # 64-row block costs ~63 ms/batch on v5e where phase A is 33
+        # (PERF_NOTES r5). 8-row fine blocks cut that 8x; the selection
+        # pyramid absorbs the 8x-wider fmax (the dense tier descends N/8
+        # on every call) and the fp32 exact-id bound still clears 100M
+        # rows (N/8 < 2^24).
+        block = 8
     if n <= max(4096, 2 * k * block):   # hierarchy can't pay for itself
         pad = (-codes.shape[0]) % 256
         codes_pad = jnp.concatenate(
@@ -519,8 +576,9 @@ def pq_topk(luts, codes, k: int, *, chunk: int = 131072,
         f"N/block = {codes.shape[0] // block} exceeds fp32's exact-int "
         f"range; raise block (>= {codes.shape[0] // ((1 << 24) - 1) + 1})")
     mk = luts.shape[1] * luts.shape[2]
-    if use_pallas is None:   # auto: real TPU + a one-hot that fits VMEM
-        use_pallas = jax.default_backend() == "tpu" and mk <= 1024
+    if use_pallas is None:   # auto: real TPU (any ksub: past mk=1024
+        # the grouped kernel slices the one-hot, _pallas_geometry)
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         phase_a = "pallas" if jax.default_backend() == "tpu" \
             else "interpret"

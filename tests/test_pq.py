@@ -234,6 +234,53 @@ class TestReviewRegressions:
         np.testing.assert_allclose(picked, np.asarray(dv), atol=1e-5)
 
 
+class TestGroupedKernel:
+    """r5: 8-bit codebooks (mk > 1024) run phase A as grouped one-hot
+    slices and phase C on 8-row fine blocks — results must stay exact
+    vs the XLA scan and the brute-force oracle."""
+
+    def test_pallas_geometry_invariants(self):
+        from dirjax.ops.pq import _pallas_geometry
+
+        # legacy single-slice geometries untouched (r3-measured)
+        assert _pallas_geometry(512, 32, 256, 2) == (1024, 1)
+        assert _pallas_geometry(1024, 64, 256, 2) == (512, 1)
+        for mk, m, nq, db in ((8192, 32, 256, 2), (8192, 32, 256, 4),
+                              (16384, 64, 256, 2), (2048, 8, 64, 2)):
+            tile, groups = _pallas_geometry(mk, m, nq, db)
+            assert m % groups == 0, (mk, m, groups)
+            g = mk // groups
+            assert g % (mk // m) == 0, "slices must be ksub-aligned"
+            assert g <= 512
+            # conservative VMEM estimate honored (the wedge guard)
+            est = mk * nq * db + m * mk * 2 \
+                + tile * (m + 4 * g + db * g + 4 * nq)
+            assert est <= 12 << 20, (mk, m, nq, db, est)
+
+    def test_ksub256_matches_xla_and_oracle(self):
+        rng = np.random.default_rng(11)
+        m, ksub, n, nq, k = 8, 256, 6000, 8, 10
+        dim = 64
+        cb = jnp.asarray(rng.normal(size=(m, ksub, dim // m)), jnp.float32)
+        codes = jnp.asarray(rng.integers(0, ksub, size=(n, m)), jnp.uint8)
+        q = jnp.asarray(rng.normal(size=(nq, dim)), jnp.float32)
+        luts = pq_lookup(q, cb)
+        for dt in (None, jnp.bfloat16):
+            v1, i1 = pq_topk(luts, codes, k, compute_dtype=dt,
+                             use_pallas=True, chunk=1000)
+            v0, i0 = pq_topk(luts, codes, k, compute_dtype=dt,
+                             use_pallas=False, chunk=1000)
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                       rtol=1e-6, atol=1e-5)
+        oh = np.eye(ksub, dtype=np.float64)[np.asarray(codes)]
+        s = np.einsum("nmk,qmk->qn", oh, np.asarray(luts, np.float64))
+        top = np.argsort(-s, axis=1)[:, :k]
+        v1, i1 = pq_topk(luts, codes, k, use_pallas=True, chunk=1000)
+        for a, b in zip(np.asarray(i1), top):
+            assert set(a) == set(b)
+
+
 class TestOPQ:
     def test_rotation_orthogonal_and_better(self, rng):
         # anisotropic data: energy front-loaded like whitened descriptors
