@@ -427,11 +427,18 @@ def evaluate(args):
     # the same ADC as a flat scan). Grade the identical cell geometry
     # with ksub=256 (still 32 B/row) plus its flat-scan equivalent, so
     # the cost of probing vs the cost of the ADC stay separable.
-    if wants("ivf256|pq_m32k256_full"):
+    if wants("pq_m32k256_full"):   # NB: also matches ..._rerank4 below
         pq_full256 = PQIndex(db, m=32, ksub=256, seed=0, train_iters=10)
         grade("pq_m32k256_full",
               lambda k: pq_full256.search(q, k=k)[1],
               note="flat-scan equivalent of ivf256's ADC budget")
+    if wants("pq_m32k256_full_rerank4"):
+        pqr256 = PQIndex(db, m=32, ksub=256, rerank=True, seed=0,
+                         train_iters=10)
+        grade("pq_m32k256_full_rerank4",
+              lambda k: pqr256.search(q, k=k, rerank_factor=4)[1],
+              note="int8 exact rescore of 4k ADC candidates")
+    if wants("ivf256"):
         ivf256 = IVFPQIndex(db, nlist=nlist, m=32, ksub=256, seed=0,
                             train_iters=10)
         for nprobe in (4, 16):
