@@ -449,6 +449,9 @@ def _ivf_topk_union(luts, q, centroids_v, probe_adjust, vlist_tab, codes,
         mk = luts_flat_t.shape[0]
         tile, groups = _pallas_geometry(mk, m, nq,
                                         jnp.dtype(dt).itemsize)
+        if tile == 0:            # no geometry fits the VMEM budget
+            phase_a = "xla"
+    if phase_a in ("pallas", "interpret"):
         tile = max(slab, (tile // slab) * slab)
         fpt = tile // slab
         n_tiled = rows_mat.shape[0] + ((-rows_mat.shape[0]) % tile)

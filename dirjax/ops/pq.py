@@ -320,7 +320,10 @@ def _pallas_geometry(mk: int, m: int, nq: int,
     for tile in (1024, 512, 256):
         if fixed + tile * (m + 4 * g + dt_bytes * g + 4 * nq) <= 12 << 20:
             return tile, groups
-    return 256, groups
+    # nothing fits (e.g. fp32 LUTs at nq >= 1024): tile 0 tells the
+    # caller to take the XLA scan — compiling an over-budget kernel
+    # anyway is exactly the wedge this helper exists to prevent
+    return 0, groups
 
 
 @functools.partial(jax.jit,
@@ -348,6 +351,9 @@ def _pq_topk_hier(luts, codes_pad, n_valid, k: int, chunk: int, block: int,
         mk = luts.shape[1] * luts.shape[2]
         tile, groups = _pallas_geometry(mk, m, nq,
                                         jnp.dtype(dt).itemsize)
+        if tile == 0:            # no geometry fits the VMEM budget
+            phase_a = "xla"
+    if phase_a in ("pallas", "interpret"):
         tile = min(tile, codes_pad.shape[0])
         tile = max(block, (tile // block) * block)   # kernel reshapes
         #                                              (tile//block, block)

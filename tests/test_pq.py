@@ -256,6 +256,10 @@ class TestGroupedKernel:
             est = mk * nq * db + m * mk * 2 \
                 + tile * (m + 4 * g + db * g + 4 * nq)
             assert est <= 12 << 20, (mk, m, nq, db, est)
+        # when nothing fits the budget the sentinel tells callers to
+        # take the XLA scan instead of compiling an over-VMEM kernel
+        tile, _ = _pallas_geometry(8192, 32, 2048, 4)
+        assert tile == 0
 
     def test_ksub256_matches_xla_and_oracle(self):
         rng = np.random.default_rng(11)
